@@ -1,0 +1,94 @@
+"""Text normalization & tokenization as columnar Spark expressions.
+
+Semantics follow the reference exactly (the per-url byte-identical
+invariant surface):
+
+- Normalize  (ref: EntityMatch/EntityMatch/Language.cs:25-35):
+    phrase.Trim().ToLower()  then strip parenthesized substrings with
+    the regex  \\([^)]*\\)   (all occurrences).
+- WordBreak  (ref: Language.cs:18-23):
+    tokens are maximal  \\w+  runs over the normalized phrase, with
+    char offsets preserved.
+
+Everything stays JVM-side (regexp_replace / regexp_extract_all inside
+whole-stage codegen); the offsets variant needs per-match indices that
+Spark's regex builtins don't expose, so it is a batched Arrow pandas UDF
+(never per-row Python).
+
+Regex note: Java (Spark), RE2 (DuckDB oracle) and C# agree that the
+fixtures' tokens are ASCII \\w = [A-Za-z0-9_]; the Python UDF pins
+re.ASCII so all four engines tokenize identically.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NORMALIZE_PAREN_RE = r"\([^)]*\)"
+TOKEN_RE = r"\w+"
+
+_PY_PAREN_RE = re.compile(r"\([^)]*\)")
+_PY_TOKEN_RE = re.compile(r"\w+", re.ASCII)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """trim -> lower -> strip parens (ref: Language.cs:32)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), NORMALIZE_PAREN_RE, "")
+
+
+def tokenize(col: Column | str, *, normalize: bool = True) -> Column:
+    """array<string> of \\w+ tokens (ref: Language.cs:18-23)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = normalize_text(c)
+    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+
+
+def py_normalize(s: str) -> str:
+    """Driver/test-side reference reimplementation (golden oracle)."""
+    return _PY_PAREN_RE.sub("", s.strip().lower())
+
+
+def py_tokenize(s: str, *, normalize: bool = True) -> list[str]:
+    if normalize:
+        s = py_normalize(s)
+    return _PY_TOKEN_RE.findall(s)
+
+
+_tokenize_offsets_udf = None
+
+
+def tokenize_with_offsets(col: Column | str) -> Column:
+    """Token + char offsets into the *normalized* text, mirroring the
+    reference Token(value, index, length) (ref: Interfaces.cs:9-25).
+
+    Arrow-batched pandas UDF (schema parsing needs an active session, so
+    the UDF is built lazily on first use); offsets refer to the
+    normalized string, as in the reference where WordBreak runs on the
+    normalized phrase.
+    """
+    global _tokenize_offsets_udf
+    if _tokenize_offsets_udf is None:
+
+        def _batch(texts: pd.Series) -> pd.Series:
+            def one(s: str | None):
+                if s is None:
+                    return []
+                norm = _PY_PAREN_RE.sub("", s.strip().lower())
+                return [
+                    {"token": m.group(0), "start": m.start(), "length": m.end() - m.start()}
+                    for m in _PY_TOKEN_RE.finditer(norm)
+                ]
+
+            return texts.map(one)
+
+        _tokenize_offsets_udf = F.pandas_udf(
+            _batch, "array<struct<token:string,start:int,length:int>>"
+        )
+    c = F.col(col) if isinstance(col, str) else col
+    return _tokenize_offsets_udf(c)
