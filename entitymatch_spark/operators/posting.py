@@ -1,0 +1,83 @@
+"""Inverted index (posting) + IDF weights as DataFrames.
+
+Reference semantics:
+
+- Posting build (ref: EntityMatch/EntityMatch/EntitiesDictionary.cs:39-62):
+  for each entity, for each token position, an (entity, position) entry
+  under the token. Here: ``posexplode`` of the token array — the posting
+  *is* the blocking-key table, repartitioned by token for the join.
+
+- IDF (ref: EntitiesDictionary.cs:69-79):
+      weight(t) = max( ln((N + 0.5 - df) / (df + 0.5)), 1e-5 )
+  where N = number of entities and df = the posting-list length for t —
+  i.e. **token occurrences, counting duplicate positions**, exactly as
+  the reference's ``positions.Count()``.
+  Edge case: for df >= N + 0.5 the C# expression is ln(negative) = NaN;
+  we clamp the ratio to a tiny positive so hot tokens get the 1e-5 floor
+  instead of NaN (documented divergence — NaN is unusable downstream).
+
+- Entity total weight (ref: EntitiesDictionary.cs:85-96): sum of the
+  IDF weights of the entity's token *occurrences* (duplicates counted).
+
+At scale: the posting groupBy is a map-side-combinable hash aggregate;
+the IDF table is tiny relative to the corpus (vocabulary-sized) and is
+broadcast into every downstream join (north_star requirement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IDF_FLOOR = 1e-5
+_RATIO_FLOOR = 1e-12
+
+
+def build_posting(
+    df: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(id, pos, token) — one row per token occurrence (posexplode)."""
+    return df.select(
+        F.col(id_col), F.posexplode(tokens_col).alias("pos", "token")
+    )
+
+
+def token_idf(posting: DataFrame, n_docs: int, id_col: str = "doc_id") -> DataFrame:
+    """(token, df, idf) with the reference's BM25-style IDF formula.
+
+    ``df`` counts posting rows (occurrences), not distinct documents —
+    faithful to positions.Count() in the reference.
+    """
+    ratio = (F.lit(float(n_docs)) + 0.5 - F.col("df")) / (F.col("df") + 0.5)
+    return (
+        posting.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf",
+            F.greatest(
+                F.log(F.greatest(ratio, F.lit(_RATIO_FLOOR))), F.lit(IDF_FLOOR)
+            ),
+        )
+    )
+
+
+def total_token_weight(
+    posting: DataFrame, idf: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, total_weight): per-document sum of occurrence IDF weights —
+    the score denominator (ref: EntitiesDictionary.cs:85-96).
+
+    The IDF side is vocabulary-sized → broadcast, so this is a map-side
+    join followed by a partial+final hash aggregate (no posting shuffle
+    beyond the groupBy on id).
+    """
+    return (
+        posting.join(F.broadcast(idf.select("token", "idf")), "token")
+        .groupBy(id_col)
+        .agg(F.sum("idf").alias("total_weight"))
+    )
+
+
+def collect_idf_map(idf: DataFrame) -> dict[str, float]:
+    """Vocabulary IDF as a plain dict for sc.broadcast into pandas UDFs."""
+    return {r["token"]: r["idf"] for r in idf.select("token", "idf").collect()}

@@ -1,0 +1,134 @@
+"""Posting/IDF/span-recognition/alternatives operator tests.
+
+Includes the port of the reference's only unit test
+(ref: AutoComplete/TestEditDistance/UnitTest1.cs:8-26): the vocabulary
+{match, matcher, watch, watcher, hatch} probed with "atch" and "matcher".
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from entitymatch_spark.functions.text import tokenize
+from entitymatch_spark.operators.alternatives import (
+    spelling_alternatives,
+    synonym_expand,
+)
+from entitymatch_spark.operators.posting import (
+    build_posting,
+    collect_idf_map,
+    token_idf,
+    total_token_weight,
+)
+from entitymatch_spark.operators.spans import extend_spans, topk_spans
+
+ENTITIES = [
+    (0, "DVD", "the dark knight"),
+    (1, "DVD", "dark knight rises"),
+    (2, "DVD", "the the the"),
+]
+
+
+def _entity_posting(spark):
+    ents = spark.createDataFrame(ENTITIES, "entity_id long, type string, phrase string")
+    toks = ents.select("entity_id", tokenize("phrase").alias("tokens"))
+    return ents, build_posting(toks, id_col="entity_id")
+
+
+def test_posting_and_idf(spark):
+    _, posting = _entity_posting(spark)
+    rows = {(r["entity_id"], r["pos"], r["token"]) for r in posting.collect()}
+    assert (0, 0, "the") in rows and (1, 2, "rises") in rows and len(rows) == 9
+
+    idf = token_idf(posting, n_docs=3)
+    got = {r["token"]: (r["df"], r["idf"]) for r in idf.collect()}
+    # df counts OCCURRENCES: 'the' appears 1 + 3 = 4 times (> N) -> floor
+    assert got["the"][0] == 4
+    assert got["the"][1] == 1e-5  # ratio negative -> clamped to the floor
+    # df=1: ln((3 + 0.5 - 1) / 1.5) = ln(5/3)
+    assert math.isclose(got["rises"][1], math.log((3 + 0.5 - 1) / 1.5), rel_tol=1e-12)
+    # df=2 at N=3: ln(1.5/2.5) < 0 -> clamped to the floor
+    assert got["dark"][0] == 2 and got["dark"][1] == 1e-5
+    assert got["knight"][1] == 1e-5
+
+
+def test_total_weight(spark):
+    _, posting = _entity_posting(spark)
+    idf = token_idf(posting, n_docs=3)
+    totals = {r["entity_id"]: r["total_weight"] for r in total_token_weight(posting, idf, "entity_id").collect()}
+    m = collect_idf_map(idf)
+    assert math.isclose(totals[0], m["the"] + m["dark"] + m["knight"], rel_tol=1e-12)
+    assert math.isclose(totals[2], 3 * m["the"], rel_tol=1e-12)  # occurrences count
+
+
+def test_extend_spans_gap_island(spark):
+    _, posting = _entity_posting(spark)
+    idf = token_idf(posting, n_docs=3)
+    totals = total_token_weight(posting, idf, "entity_id")
+    q = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("watch the dark knight rises now".split())],
+        "query_id long, qpos int, token string",
+    )
+    spans = extend_spans(q, posting, idf, totals).collect()
+    by_ent = {}
+    for r in spans:
+        by_ent.setdefault(r["entity_id"], []).append((r["start"], r["length"], r["score"]))
+    # entity 0: full phrase 'the dark knight' at qpos 1..3
+    assert (1, 3) in {(s, l) for s, l, _ in by_ent[0]}
+    full0 = [x for x in by_ent[0] if x[1] == 3][0]
+    assert math.isclose(full0[2], 1.0, rel_tol=1e-12)  # all tokens matched
+    # entity 1: full phrase at qpos 2..4, score 1.0
+    full1 = [x for x in by_ent[1] if x[1] == 3][0]
+    assert full1[0] == 2 and math.isclose(full1[2], 1.0, rel_tol=1e-12)
+    # entity 2 ('the the the') matches single 'the' on 3 diagonals
+    assert sorted(by_ent[2]) == [(1, 1, by_ent[2][0][2])] * 3
+    # threshold drops partial spans
+    hi = extend_spans(q, posting, idf, totals, threshold=0.9).collect()
+    assert all(r["score"] >= 0.9 for r in hi)
+
+
+def test_topk_spans(spark):
+    spans = spark.createDataFrame(
+        [("DVD", 0, 1, 0.9), ("DVD", 0, 2, 0.8), ("DVD", 0, 3, 0.95), ("CD", 0, 4, 0.1)],
+        "type string, start int, entity_id int, score double",
+    )
+    top = topk_spans(spans, k=2).collect()
+    dvd = sorted((r["entity_id"] for r in top if r["type"] == "DVD"))
+    assert dvd == [1, 3]
+    assert any(r["type"] == "CD" for r in top)
+
+
+def test_spelling_alternatives_trie_port(spark):
+    vocab = spark.createDataFrame(
+        [("match",), ("matcher",), ("watch",), ("watcher",), ("hatch",)],
+        "token string",
+    )
+    probes = spark.createDataFrame([("atch",), ("matcher",)], "token string")
+    # k=3 reproduces UnitTest1's EditLookup("atch", 3) -> all 5 words
+    alts3 = spelling_alternatives(probes, vocab, max_edit=3)
+    atch3 = {r["alt_token"]: r["distance"] for r in alts3.filter(F.col("token") == "atch").collect()}
+    assert set(atch3) == {"match", "watch", "hatch", "matcher", "watcher"}
+    assert atch3["match"] == 1 and atch3["watcher"] == 3
+
+    alts1 = spelling_alternatives(probes, vocab, max_edit=1)
+    got = {(r["token"], r["alt_token"]): (r["distance"], r["weight"]) for r in alts1.collect()}
+    # exact short-circuit: 'matcher' yields ONLY itself at weight 1.0
+    assert got[("matcher", "matcher")] == (0, 1.0)
+    assert not any(t == "matcher" and a != "matcher" for t, a in got)
+    # 'atch' -> the three distance-1 words at weight 0.5
+    fuzzy = {a for (t, a) in got if t == "atch"}
+    assert fuzzy == {"match", "watch", "hatch"}
+    assert all(got[("atch", a)] == (1, 0.5) for a in fuzzy)
+
+
+def test_synonym_expand(spark):
+    toks = spark.createDataFrame([("movie", 0.5), ("rock",  1.0)], "token string, weight double")
+    syn = spark.createDataFrame(
+        [("movie", "film", 0.9)], "token string, alt_token string, weight double"
+    )
+    out = {(r["token"], r["alt_token"]): r["weight"] for r in synonym_expand(toks, syn).collect()}
+    assert out[("movie", "movie")] == 0.5  # identity keeps incoming weight
+    assert math.isclose(out[("movie", "film")], 0.45, rel_tol=1e-12)  # 0.5 * 0.9
+    assert out[("rock", "rock")] == 1.0 and len(out) == 3
