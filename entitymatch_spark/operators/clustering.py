@@ -1,0 +1,118 @@
+"""Transitive clustering: iterative DataFrame connected components.
+
+Matched pairs form an undirected graph; entity clusters are its
+connected components with the stable cluster id = min member id
+(min works on any orderable id type — urls included — so no
+collision-prone hashing of string keys into longs is needed).
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14) — converges in
+O(log n) rounds on pathological graphs (vs O(diameter) for naive label
+propagation), each round a pair of groupBy/join stages:
+
+- large-star: bidirect edges, per node u attach every *larger* neighbor
+  to m = min(N(u) ∪ {u}).
+- small-star: orient edges to the smaller endpoint, per node u attach
+  all (smaller) neighbors and u itself to m = min(N(u) ∪ {u}).
+
+Convergence: the edge multiset stops changing (checked by count +
+order-insensitive hash checksum — one cheap agg per round, no join).
+Each round ends in ``localCheckpoint`` to cut lineage (iterative plans
+otherwise grow exponentially and re-execute history every action).
+
+The reference has no clustering (spans are per-query); this implements
+the north_star's transitive-closure stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bidir = edges.select(F.col("u"), F.col("v")).union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        bidir.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = oriented.unionByName(
+        oriented.select("u", F.col("u").alias("v")).distinct()
+    )
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor is order-insensitive and overflow-free under ANSI mode;
+    # the edge set is distinct, so xor-cancellation of duplicates can't occur.
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges``.
+
+    component = min id of the node's connected component. Callers
+    handle singletons (nodes with no edges) with a left join +
+    coalesce(component, id).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # Fixpoint edges are (node -> root). Roots map to themselves.
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.unionByName(roots).distinct()
+
+
+def assign_clusters(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """docs + cluster_id (= component root, or the doc's own id for
+    singletons)."""
+    comp = components.withColumnRenamed("id", id_col)
+    return (
+        docs.join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )

@@ -1,0 +1,125 @@
+"""Batched pair scoring: Jaro-Winkler + Levenshtein + TF-IDF cosine.
+
+Candidate pairs are hydrated with both sides' normalized text + token
+arrays (two equi-joins against the docs table — the standard pair
+materialization; at cluster scale the pairs side is repartitioned on
+the join key so each join is one aligned shuffle).
+
+Feature split between JVM and Arrow:
+
+- ``lev_sim``  — built-in ``levenshtein`` on length-capped prefixes,
+  whole-stage codegen, no Python. The cap mirrors the reference's
+  MAX_LEN=128 guard (ref: AutoComplete/Common/EditDistance.cs:13) —
+  unbounded O(n^2) DP on web-page-sized strings would dominate the
+  stage at 100 TB.
+- ``jaccard``  — array_intersect/array_union sizes, JVM-side.
+- ``jw``, ``cosine``, ``containment`` — ONE Arrow-batched pandas UDF
+  returning a struct (one Python hop per batch, never per row). The
+  IDF dictionary rides a Spark broadcast into the executors
+  (north_star: broadcast IDF dictionary).
+
+The combined score is a fixed affine blend (weights below, calibrated
+on the labeled fixture — tests assert pairwise F1 >= 0.99); the
+reference analog is the containment threshold at span finalization
+(ref: Recognizer.cs:55-64).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entitymatch_spark.functions.similarity import (
+    jaro_winkler,
+    tfidf_cosine_and_containment,
+)
+
+DEFAULT_WEIGHTS = {
+    "cosine": 0.35,
+    "jw": 0.20,
+    "lev_sim": 0.15,
+    "jaccard": 0.15,
+    "containment": 0.15,
+}
+DEFAULT_THRESHOLD = 0.60
+LEV_PREFIX = 128  # chars compared by the JVM levenshtein (ref MAX_LEN=128)
+
+
+def _pair_udf(idf_bcast):
+    def batch(
+        text_a: pd.Series, text_b: pd.Series, toks_a: pd.Series, toks_b: pd.Series
+    ) -> pd.DataFrame:
+        idf = idf_bcast.value
+        jws, cosines, conts = [], [], []
+        for ta, tb, ka, kb in zip(text_a, text_b, toks_a, toks_b):
+            jws.append(jaro_winkler(ta or "", tb or ""))
+            cos, cont = tfidf_cosine_and_containment(
+                list(ka) if ka is not None else [],
+                list(kb) if kb is not None else [],
+                idf,
+            )
+            cosines.append(cos)
+            conts.append(cont)
+        return pd.DataFrame({"jw": jws, "cosine": cosines, "containment": conts})
+
+    return F.pandas_udf(batch, "struct<jw:double,cosine:double,containment:double>")
+
+
+def score_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    idf_map: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    tokens_col: str = "tokens",
+    weights: dict[str, float] | None = None,
+    threshold: float | None = None,
+    lev_prefix: int = LEV_PREFIX,
+) -> DataFrame:
+    """Score (id_a, id_b) candidate pairs against docs(id, text, tokens).
+
+    Returns pairs + feature columns + blended ``score`` (+ filter when
+    ``threshold`` given). All joins are equi-joins on the doc id.
+    """
+    weights = weights or DEFAULT_WEIGHTS
+    spark = SparkSession.getActiveSession()
+    idf_bcast = spark.sparkContext.broadcast(idf_map)
+
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        F.col(tokens_col).alias("toks_a"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        F.col(tokens_col).alias("toks_b"),
+    )
+    hydrated = pairs.join(a, "id_a").join(b, "id_b")
+
+    lev_a = F.substring("text_a", 1, lev_prefix)
+    lev_b = F.substring("text_b", 1, lev_prefix)
+    maxlen = F.greatest(F.length(lev_a), F.length(lev_b))
+    lev_sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(lev_a, lev_b) / maxlen
+    )
+    inter = F.size(F.array_intersect(F.array_distinct("toks_a"), F.array_distinct("toks_b")))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jaccard = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+    udf = _pair_udf(idf_bcast)
+    feats = (
+        hydrated.withColumn("lev_sim", lev_sim)
+        .withColumn("jaccard", jaccard)
+        .withColumn("_s", udf("text_a", "text_b", "toks_a", "toks_b"))
+        .withColumn("jw", F.col("_s.jw"))
+        .withColumn("cosine", F.col("_s.cosine"))
+        .withColumn("containment", F.col("_s.containment"))
+        .drop("_s", "text_a", "text_b", "toks_a", "toks_b")
+    )
+    score = sum(F.col(k) * F.lit(w) for k, w in weights.items())
+    out = feats.withColumn("score", score)
+    if threshold is not None:
+        out = out.filter(F.col("score") >= threshold)
+    return out

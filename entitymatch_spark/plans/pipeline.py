@@ -1,0 +1,112 @@
+"""The end-to-end record-linkage pipeline (BASELINE.json north_star).
+
+    pages(url, warc_ts, html, text, lang)
+      -> normalize/tokenize                 (columnar regex, M0)
+      -> posting + IDF + totals             (posexplode + hash agg, M1)
+      -> blocking keys: rare tokens ∪ LSH bands, block purging (M2)
+      -> candidate pairs (salted/bounded self-join)
+      -> batched Arrow pair scoring, IDF broadcast (M3)
+      -> threshold -> matched pairs
+      -> connected components -> stable cluster ids (M4)
+
+Every stage is a DataFrame; `match_pipeline` wires them lazily so
+Catalyst sees one plan per output. Checkpoint/resume for long jobs
+lives in plans/checkpoint.py and wraps these stages at write points.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entitymatch_spark.functions.text import normalize_text, tokenize
+from entitymatch_spark.operators.blocking import (
+    candidate_pairs,
+    lsh_band_keys,
+    minhash_signature,
+    token_blocking_keys,
+)
+from entitymatch_spark.operators.clustering import assign_clusters, connected_components
+from entitymatch_spark.operators.posting import (
+    build_posting,
+    collect_idf_map,
+    token_idf,
+)
+from entitymatch_spark.operators.scoring import (
+    DEFAULT_THRESHOLD,
+    DEFAULT_WEIGHTS,
+    score_pairs,
+)
+
+
+@dataclass
+class MatchConfig:
+    min_idf: float = 1.0          # token blocking: rare-token floor
+    max_block: int = 64           # block purging cap
+    num_hashes: int = 64          # MinHash signature width
+    bands: int = 16               # LSH bands (16 x 4: ~0.5 jaccard knee)
+    rows_per_band: int = 4
+    use_lsh: bool = True
+    weights: dict = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
+    threshold: float = DEFAULT_THRESHOLD
+    lev_prefix: int = 128
+    seed: int = 42
+    id_col: str = "url"
+    text_col: str = "text"
+
+
+@dataclass
+class MatchResult:
+    docs: DataFrame        # (id, norm_text, tokens)
+    posting: DataFrame     # (id, pos, token)
+    idf: DataFrame         # (token, df, idf)
+    keys: DataFrame        # (id, key)
+    pairs: DataFrame       # (id_a, id_b, n_keys)
+    scored: DataFrame      # pairs + features + score
+    matches: DataFrame     # scored, score >= threshold
+    clusters: DataFrame    # docs + cluster_id
+
+
+def prepare_docs(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
+    return pages.select(
+        F.col(cfg.id_col).alias("doc_id"),
+        normalize_text(cfg.text_col).alias("norm_text"),
+        tokenize(cfg.text_col).alias("tokens"),
+    )
+
+
+def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchResult:
+    cfg = cfg or MatchConfig()
+    docs = prepare_docs(pages, cfg)
+    n_docs = docs.count()
+
+    posting = build_posting(docs, id_col="doc_id")
+    idf = token_idf(posting, n_docs=n_docs)
+
+    keys = token_blocking_keys(posting, idf, min_idf=cfg.min_idf)
+    if cfg.use_lsh:
+        sigs = minhash_signature(
+            docs, id_col="doc_id", tokens_col="tokens",
+            num_hashes=cfg.num_hashes, seed=cfg.seed,
+        )
+        keys = keys.unionByName(
+            lsh_band_keys(sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band)
+        )
+
+    pairs = candidate_pairs(keys, max_block=cfg.max_block)
+    idf_map = collect_idf_map(idf)
+    scored = score_pairs(
+        pairs, docs, idf_map,
+        weights=cfg.weights, lev_prefix=cfg.lev_prefix,
+    )
+    matches = scored.filter(F.col("score") >= cfg.threshold)
+    components = connected_components(
+        matches.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    clusters = assign_clusters(docs.select("doc_id"), components)
+    return MatchResult(
+        docs=docs, posting=posting, idf=idf, keys=keys,
+        pairs=pairs, scored=scored, matches=matches, clusters=clusters,
+    )

@@ -10,8 +10,33 @@ default.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_PKG_ROOT = Path(__file__).resolve().parent.parent
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the entitymatch_spark package to executor python workers.
+
+    Needed whenever the driver wasn't launched from the repo root (the
+    grading driver, spark-submit without --py-files): pandas UDF
+    closures unpickle on workers and import this package. Zips the
+    package once and addPyFile()s it — works in local and cluster mode.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_entitymatch_pyfile_added", False):
+        return
+    tmp = Path(tempfile.mkdtemp(prefix="em_pyfiles_"))
+    zip_base = tmp / "entitymatch_spark"
+    shutil.make_archive(
+        str(zip_base), "zip", root_dir=str(_PKG_ROOT), base_dir="entitymatch_spark"
+    )
+    sc.addPyFile(str(zip_base) + ".zip")
+    sc._entitymatch_pyfile_added = True
 
 
 def get_spark(
@@ -53,6 +78,14 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # Make the package importable by executor python workers even when
+    # the driver process was started outside the repo root.
+    existing = os.environ.get("PYTHONPATH", "")
+    if str(_PKG_ROOT) not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{existing}" if existing else str(_PKG_ROOT)
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_workers_can_import(spark)
     return spark

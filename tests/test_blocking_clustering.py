@@ -1,0 +1,142 @@
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from entitymatch_spark.operators.blocking import (
+    candidate_pairs,
+    lsh_band_keys,
+    minhash_signature,
+    prune_oversized_blocks,
+    token_blocking_keys,
+)
+from entitymatch_spark.operators.clustering import assign_clusters, connected_components
+from entitymatch_spark.operators.posting import build_posting, token_idf
+
+
+def test_token_blocking_and_purge(spark):
+    docs = spark.createDataFrame(
+        [(i, ["common"] + ([f"rare{i % 3}"] if i < 9 else [])) for i in range(40)],
+        "doc_id long, tokens array<string>",
+    )
+    posting = build_posting(docs)
+    idf = token_idf(posting, n_docs=40)
+    keys = token_blocking_keys(posting, idf, min_idf=1.0)
+    ks = {(r["doc_id"], r["key"]) for r in keys.collect()}
+    # 'common' (df=40) floors at 1e-5 -> not a key; rare tokens (df=3) are
+    assert all(k.startswith("tok:rare") for _, k in ks)
+    assert len(ks) == 9
+    pairs = candidate_pairs(keys, max_block=64).collect()
+    # 3 blocks of 3 docs -> 3 pairs each
+    assert len(pairs) == 9
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+    # purging drops a block over the cap
+    pruned = prune_oversized_blocks(keys, max_block=2)
+    assert pruned.count() == 0  # every rare block has 3 members > cap 2
+
+
+def test_minhash_deterministic_and_partition_independent(spark):
+    rng = random.Random(5)
+    rows = [(i, [f"t{rng.randrange(50)}" for _ in range(rng.randint(3, 15))]) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    s1 = {r["doc_id"]: r["sig"] for r in minhash_signature(docs).collect()}
+    s2 = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signature(docs.repartition(7)).collect()
+    }
+    assert s1 == s2
+    # token order / duplicates must not matter (set semantics)
+    shuffled = spark.createDataFrame(
+        [(i, list(reversed(t)) + [t[0]]) for i, t in rows],
+        "doc_id long, tokens array<string>",
+    )
+    s3 = {r["doc_id"]: r["sig"] for r in minhash_signature(shuffled).collect()}
+    assert s1 == s3
+    assert all(len(v) == 64 for v in s1.values())
+
+
+def test_minhash_similarity_correlation(spark):
+    # identical token sets -> identical signatures; disjoint -> collide rarely
+    docs = spark.createDataFrame(
+        [
+            (0, [f"a{i}" for i in range(20)]),
+            (1, [f"a{i}" for i in range(20)]),                      # dup of 0
+            (2, [f"a{i}" for i in range(16)] + [f"b{i}" for i in range(4)]),  # ~0.67 jacc
+            (3, [f"c{i}" for i in range(20)]),                      # disjoint
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    sig = {r["doc_id"]: r["sig"] for r in minhash_signature(docs).collect()}
+    eq = lambda x, y: sum(a == b for a, b in zip(sig[x], sig[y])) / 64
+    assert eq(0, 1) == 1.0
+    assert eq(0, 2) > 0.4
+    assert eq(0, 3) < 0.15
+    # LSH band keys: dup pair collides on every band, disjoint on none
+    keys = lsh_band_keys(minhash_signature(docs))
+    k = keys.groupBy("key").agg(F.collect_set("doc_id").alias("ids")).collect()
+    together01 = sum(1 for r in k if 0 in r["ids"] and 1 in r["ids"])
+    together03 = sum(1 for r in k if 0 in r["ids"] and 3 in r["ids"])
+    assert together01 == 16 and together03 == 0
+
+
+def _uf_components(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    return {min(v): sorted(v) for v in comp.values()}
+
+
+def test_connected_components_vs_union_find(spark):
+    rng = random.Random(11)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges += [(i, i + 1) for i in range(50, 80)]  # a long chain
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got_rows = connected_components(e, "src", "dst").collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["component"], []).append(r["id"])
+    got = {k: sorted(v) for k, v in got.items()}
+
+    want_all = _uf_components(n, edges)
+    touched = {x for uv in edges for x in uv}
+    want = {
+        k: sorted(x for x in v if x in touched)
+        for k, v in want_all.items()
+        if any(x in touched for x in v)
+    }
+    assert got == want
+    # component id is the min member
+    assert all(k == min(v) for k, v in got.items())
+
+
+def test_connected_components_string_ids(spark):
+    e = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(e, "src", "dst").collect()}
+    assert comp == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+    docs = spark.createDataFrame([("b",), ("d",), ("lonely",)], "doc_id string")
+    cl = {r["doc_id"]: r["cluster_id"] for r in assign_clusters(docs, connected_components(e, "src", "dst")).collect()}
+    assert cl == {"b": "b", "d": "b", "lonely": "lonely"}
+
+
+def test_connected_components_empty(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(e, "src", "dst").count() == 0

@@ -1,0 +1,72 @@
+"""End-to-end pipeline correctness: pairwise F1 >= 0.99 on labeled
+same-blocking-key pairs + exact cluster reproduction (north_rule)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
+from entitymatch_spark.sources.synthetic import generate_corpus, corpus_to_spark
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    fx = generate_corpus(n_clusters=150, seed=42)
+    dfs = corpus_to_spark(spark, fx)
+    res = match_pipeline(dfs["pages"], MatchConfig())
+    scored = res.scored.select("id_a", "id_b", "score").toPandas()
+    clusters = res.clusters.toPandas()
+    return fx, scored, clusters
+
+
+def _pair_predictions(fx, scored, threshold):
+    sc = {(r.id_a, r.id_b): r.score for r in scored.itertuples()}
+    rows = []
+    for r in fx.labels.itertuples():
+        a, b = sorted((r.url_a, r.url_b))
+        score = sc.get((a, b), 0.0)  # unblocked/unscored pair = non-match
+        rows.append((a, b, r.is_match, score >= threshold, score))
+    return pd.DataFrame(rows, columns=["a", "b", "truth", "pred", "score"])
+
+
+def test_pairwise_f1(result):
+    fx, scored, _ = result
+    preds = _pair_predictions(fx, scored, MatchConfig().threshold)
+    tp = int(((preds.truth) & (preds.pred)).sum())
+    fp = int((~preds.truth & preds.pred).sum())
+    fn = int((preds.truth & ~preds.pred).sum())
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    print(f"pairs={len(preds)} tp={tp} fp={fp} fn={fn} P={precision:.4f} R={recall:.4f} F1={f1:.4f}")
+    assert f1 >= 0.99, (tp, fp, fn, precision, recall, f1)
+
+
+def test_cluster_reproduction(result):
+    """Predicted partition == ground-truth partition, exactly."""
+    fx, _, clusters = result
+    truth = fx.pages[["url", "cluster_id"]].rename(columns={"cluster_id": "truth"})
+    merged = clusters.rename(columns={"doc_id": "url", "cluster_id": "pred"}).merge(truth, on="url")
+    # bijection test: each truth cluster maps to exactly one predicted id & vice versa
+    t2p = merged.groupby("truth")["pred"].nunique()
+    p2t = merged.groupby("pred")["truth"].nunique()
+    frag = int((t2p > 1).sum())
+    merge_err = int((p2t > 1).sum())
+    print(f"clusters={len(t2p)} fragmented={frag} wrongly_merged={merge_err}")
+    assert frag == 0, f"{frag} ground-truth clusters fragmented"
+    assert merge_err == 0, f"{merge_err} predicted clusters span >1 truth cluster"
+
+
+def test_all_labeled_pairs_blocked(result):
+    """Every labeled positive pair must be a candidate (blocking recall)."""
+    fx, scored, _ = result
+    have = {(r.id_a, r.id_b) for r in scored.itertuples()}
+    pos = fx.labels[fx.labels.is_match]
+    missing = [
+        (r.url_a, r.url_b)
+        for r in pos.itertuples()
+        if tuple(sorted((r.url_a, r.url_b))) not in have
+    ]
+    assert not missing, f"{len(missing)} positive pairs missed by blocking: {missing[:5]}"

@@ -1,0 +1,61 @@
+"""Similarity primitives vs independent oracles (DuckDB, brute force)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from entitymatch_spark.functions.similarity import (
+    jaro_winkler,
+    levenshtein_bounded,
+    tfidf_cosine_and_containment,
+)
+
+
+def _rand_word(rng, n):
+    return "".join(rng.choice("abcdefgh") for _ in range(n))
+
+
+def test_jaro_winkler_matches_duckdb():
+    rng = random.Random(1)
+    cases = [("martha", "marhta"), ("dixon", "dicksonx"), ("", ""), ("a", ""), ("abc", "abc")]
+    cases += [(_rand_word(rng, rng.randint(0, 12)), _rand_word(rng, rng.randint(0, 12))) for _ in range(500)]
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        got = jaro_winkler(a, b)
+        assert got == pytest.approx(want, abs=1e-12), (a, b, got, want)
+
+
+def test_levenshtein_matches_duckdb():
+    rng = random.Random(2)
+    con = duckdb.connect()
+    for _ in range(300):
+        a = _rand_word(rng, rng.randint(0, 10))
+        b = _rand_word(rng, rng.randint(0, 10))
+        want = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein_bounded(a, b) == want
+        cap = rng.randint(0, 4)
+        got = levenshtein_bounded(a, b, cap=cap)
+        assert (got <= cap) == (want <= cap)
+        if want <= cap:
+            assert got == want
+
+
+def test_tfidf_cosine_basics():
+    idf = {"a": 2.0, "b": 1.0, "c": 3.0}
+    cos, cont = tfidf_cosine_and_containment(["a", "b"], ["a", "b"], idf)
+    assert cos == pytest.approx(1.0) and cont == pytest.approx(1.0)
+    cos, cont = tfidf_cosine_and_containment(["a"], ["c"], idf)
+    assert cos == 0.0 and cont == 0.0
+    assert tfidf_cosine_and_containment([], ["a"], idf) == (0.0, 0.0)
+    # multiset: duplicate tokens raise tf
+    cos_dup, _ = tfidf_cosine_and_containment(["a", "a", "b"], ["a", "b"], idf)
+    cos_one, _ = tfidf_cosine_and_containment(["a", "b"], ["a", "b"], idf)
+    assert cos_dup < cos_one
+    # containment of a subset is 1.0 against its superset
+    _, cont_sub = tfidf_cosine_and_containment(["a"], ["a", "b"], idf)
+    assert cont_sub == pytest.approx(1.0)
