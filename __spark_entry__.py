@@ -1,38 +1,812 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end record-linkage pipeline
+(normalize -> posting/IDF -> token+LSH blocking -> Arrow pair scoring ->
+connected components) on sf0.001 documents. ``queries()`` /
+``oracle_sql()`` cover the operator inventory of SURVEY.md §2 plus the
+training-data-pipeline ops (dedup family, ANN, text analysis,
+multimodal metadata); each oracle is ANSI SQL DuckDB runs on the same
+parquet. Column names and float rounding are aligned on both sides
+(the driver hashes values with columns sorted by name).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB side). Backslashes are literal in DuckDB
+# string literals; 'g' makes regexp_replace global like Spark's.
+# ---------------------------------------------------------------------------
+NORM = r"regexp_replace(lower(trim(text)), '\([^)]*\)', '', 'g')"
+TOKS = rf"regexp_extract_all({NORM}, '\w+')"
+
+# full-corpus token positions (0-based, matching posexplode)
+POS_CTE = f"""
+toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS token,
+               generate_subscripts(tk, 1) - 1 AS pos FROM toks)
+"""
+
+IDF_CTE = """
+idf AS (
+  SELECT token,
+         count(*) AS df,
+         greatest(ln(greatest(((SELECT count(*) FROM documents) + 0.5 - count(*))
+                              / (count(*) + 0.5), 1e-12)), 0.00001) AS idf
+  FROM pos GROUP BY token)
+"""
+
+# trigram blocking keys over lang='de' docs, blocks capped at 12
+TRI_CTE = f"""
+dtoks AS (SELECT doc_id, {TOKS} AS tk FROM documents WHERE lang = 'de'),
+dpos AS (SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS p FROM dtoks),
+tri AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS k
+        FROM dpos a
+        JOIN dpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        JOIN dpos c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+ok AS (SELECT k FROM tri GROUP BY k HAVING count(*) <= 12),
+cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_keys
+         FROM tri x JOIN tri y USING (k) JOIN ok USING (k)
+         WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+"""
+
+EN_STOPS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+SYNONYMS = [
+    ("fast", "quick", 0.9),
+    ("slow", "sluggish", 0.8),
+    ("table", "grid", 0.7),
+    ("row", "record", 0.85),
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entitymatch_spark.functions.text import normalize_text, tokenize
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        normalize_text("text").alias("norm"),
+        tokenize("text").alias("tokens"),
+    )
+
+
+def _posting(spark: SparkSession, sf_dir: str):
+    from entitymatch_spark.operators.posting import build_posting
+
+    docs = _docs(spark, sf_dir)
+    return docs, build_posting(docs, id_col="doc_id")
+
+
+def _idf(spark: SparkSession, sf_dir: str):
+    from entitymatch_spark.operators.posting import token_idf
+
+    docs, posting = _posting(spark, sf_dir)
+    n = _t(spark, sf_dir, "documents").count()
+    return docs, posting, token_idf(posting, n_docs=n)
+
+
+def _trigram_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "de")
+    tri = F.when(F.size("tokens") < 3, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            "transform(sequence(0, size(tokens) - 3),"
+            " i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))"
+        )
+    )
+    return docs.select("doc_id", F.explode(tri).alias("key")).distinct()
+
+
+def _tri_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entitymatch_spark.operators.blocking import candidate_pairs
+
+    return candidate_pairs(_trigram_keys(spark, sf_dir), max_block=12)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+_COS = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / "
+    "(sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v)) * "
+    " sqrt(aggregate({b}, 0D, (acc, v) -> acc + v * v)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_scan_documents(spark, sf):  # S1: projected, filtered scan
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("n_chars") >= 200)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def q_scan_dedup(spark, sf):  # S2: scan + dropDuplicates (DBUtil.cs:36-44)
+    return _t(spark, sf, "documents").select("lang", "source").dropDuplicates()
+
+
+def q_normalize_text(spark, sf):  # P1 (Language.cs:25-35)
+    return _docs(spark, sf).select("doc_id", "norm")
+
+
+def q_tokenize_text(spark, sf):  # P2 (Language.cs:18-23)
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("toks"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def q_build_posting(spark, sf):  # J1 (EntitiesDictionary.cs:39-62)
+    _, posting = _posting(spark, sf)
+    return posting.select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+def q_token_idf(spark, sf):  # A1 (EntitiesDictionary.cs:69-79)
+    _, _, idf = _idf(spark, sf)
+    return idf.select("token", "df", F.round("idf", 6).alias("idf"))
+
+
+def q_doc_total_weight(spark, sf):  # A2 (EntitiesDictionary.cs:85-96)
+    from entitymatch_spark.operators.posting import total_token_weight
+
+    _, posting, idf = _idf(spark, sf)
+    tw = total_token_weight(posting, idf, "doc_id")
+    return tw.select("doc_id", F.round("total_weight", 6).alias("total_weight"))
+
+
+def q_word_freq(spark, sf):  # A6 (Obsolete.cs:581-615)
+    _, posting = _posting(spark, sf)
+    return posting.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"), F.count("*").alias("n_occ")
+    )
+
+
+def q_histogram_count(spark, sf):  # A4 (Histogram.cs:16-30)
+    return _t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_histogram_summary(spark, sf):  # A5 (analyze/Program.cs:84-88)
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_histogram_threshold(spark, sf):  # P5 (analyze/Program.cs:91)
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+def q_histogram_topn(spark, sf):  # W2 (analyze/Program.cs:89-97)
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+def q_topk_per_group(spark, sf):  # W1 (Recognizer.cs:24-46)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "value", "rnk")
+    )
+
+
+def q_parse_numeric_unit(spark, sf):  # P8 (Util.cs:166-242)
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.regexp_extract("props", r"([0-9]+)", 1).cast("long").alias("k_num"),
+    )
+
+
+def q_spelling_alternatives(spark, sf):  # J6 (Alternatives.cs:88-116)
+    from entitymatch_spark.operators.alternatives import spelling_alternatives
+
+    d = _docs(spark, sf)
+    probes = (
+        d.filter(F.col("lang") == "de")
+        .select(F.explode("tokens").alias("token"))
+        .distinct()
+    )
+    vocab = (
+        d.filter(F.col("lang") == "en")
+        .select(F.explode("tokens").alias("token"))
+        .distinct()
+    )
+    out = spelling_alternatives(probes, vocab, max_edit=1)
+    return out.select(
+        "token", "alt_token", F.col("distance").cast("long").alias("distance"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def q_synonym_expand(spark, sf):  # J7 (Alternatives.cs:23-61)
+    from entitymatch_spark.operators.alternatives import synonym_expand
+
+    toks = (
+        _docs(spark, sf).select(F.explode("tokens").alias("token")).distinct()
+    )
+    syn = spark.createDataFrame(SYNONYMS, "token string, alt_token string, weight double")
+    return synonym_expand(toks, syn).select("token", "alt_token", "weight")
+
+
+def q_candidate_pairs(spark, sf):  # J2 + blocking (M2)
+    return _tri_pairs(spark, sf).select("id_a", "id_b", "n_keys")
+
+
+def q_extend_spans(spark, sf):  # J4+A3+F2 (Recognizer.cs:197-300,55-64)
+    from entitymatch_spark.operators.posting import total_token_weight
+    from entitymatch_spark.operators.spans import extend_spans
+
+    docs, posting, idf = _idf(spark, sf)
+    q = (
+        posting.join(docs.filter(F.col("doc_id") == 0).select("doc_id"), "doc_id")
+        .select(F.lit(0).alias("query_id"), F.col("pos").alias("qpos"), "token")
+    )
+    fr_ids = docs.filter((F.col("lang") == "fr") & (F.col("doc_id") != 0)).select("doc_id")
+    ent_posting = posting.join(fr_ids, "doc_id").withColumnRenamed("doc_id", "entity_id")
+    totals = total_token_weight(
+        posting.join(fr_ids, "doc_id"), idf, "doc_id"
+    ).withColumnRenamed("doc_id", "entity_id")
+    spans = extend_spans(q, ent_posting, idf, totals)
+    return (
+        spans.filter(F.col("length") >= 2)
+        .select(
+            "entity_id",
+            F.col("start").cast("long").alias("span_start"),
+            F.col("length").cast("long").alias("span_len"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def q_tfidf_cosine_pairs(spark, sf):  # F2 generalization, relational form
+    _, posting, idf = _idf(spark, sf)
+    pairs = _tri_pairs(spark, sf).select("id_a", "id_b")
+    w = (
+        posting.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(idf.select("token", "idf")), "token")
+        .select("doc_id", "token", (F.col("tf") * F.col("idf")).alias("w"))
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wa = w.select(F.col("doc_id").alias("id_a"), "token", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("id_b"), "token", F.col("w").alias("wb"))
+    dots = (
+        pairs.join(wa, "id_a").join(wb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        pairs.join(dots, ["id_a", "id_b"], "left")
+        .join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.coalesce(F.col("dot"), F.lit(0.0)) / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+    )
+
+
+def q_score_pairs(spark, sf):  # M3 features (JW/lev/jaccard blend)
+    from entitymatch_spark.operators.scoring import score_pairs
+
+    docs = _docs(spark, sf).withColumnRenamed("norm", "norm_text")
+    pairs = _tri_pairs(spark, sf).select("id_a", "id_b")
+    scored = score_pairs(
+        pairs, docs, idf_map={},
+        weights={"jaccard": 0.4, "lev_sim": 0.3, "jw": 0.3},
+    )
+    return scored.select(
+        "id_a", "id_b",
+        F.round("jaccard", 4).alias("jaccard"),
+        F.round("lev_sim", 4).alias("lev_sim"),
+        F.round("jw", 4).alias("jw"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_dedup_exact(spark, sf):  # exact dedup via content hash
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf).select("doc_id", F.md5("norm").alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return d.select(
+        "doc_id", "fingerprint",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("n_dups"),
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf):  # word-bigram jaccard over candidates
+    d = _docs(spark, sf)
+    bi = F.when(F.size("tokens") < 2, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            "transform(sequence(0, size(tokens) - 2),"
+            " i -> concat_ws(' ', tokens[i], tokens[i+1]))"
+        )
+    )
+    sets = d.select("doc_id", F.array_distinct(bi).alias("bset"))
+    pairs = _tri_pairs(spark, sf).select("id_a", "id_b")
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("bset").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("bset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.when(union == 0, 0.0).otherwise(inter / union), 4).alias("jaccard"),
+        )
+    )
+
+
+def q_ann_cosine_topk(spark, sf):  # brute-force cosine top-k
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("ea")
+    )
+    n = e.select(F.col("vec_id").alias("nid"), F.col("e").alias("eb"))
+    pairs = q.crossJoin(n).filter(F.col("qid") != F.col("nid"))
+    cos = F.expr(_COS.format(a="ea", b="eb"))
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nid"))
+    return (
+        pairs.withColumn("c", cos)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "nid", F.round("c", 4).alias("cosine"), "rnk")
+    )
+
+
+def q_dedup_embedding(spark, sf):  # embedding-cosine near-dup pairs
+    e = _emb(spark, sf)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("e").alias("eb"))
+    cos = F.expr(_COS.format(a="ea", b="eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("c", cos)
+        .filter(F.col("c") >= 0.35)
+        .select("id_a", "id_b", "label", F.round("c", 4).alias("cosine"))
+    )
+
+
+def q_lang_id(spark, sf):  # stopword-hit language heuristic
+    d = _docs(spark, sf)
+    stops = F.array(*[F.lit(s) for s in EN_STOPS])
+    hits = F.size(F.array_intersect(F.array_distinct("tokens"), stops))
+    pred = (
+        F.when(hits >= 3, F.lit("en"))
+        .when(hits >= 1, F.lit("maybe_en"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select("doc_id", hits.cast("long").alias("stop_hits"), pred.alias("pred_lang"))
+
+
+def q_quality_score(spark, sf):  # length/stopword/uniqueness quality
+    d = _docs(spark, sf)
+    stops = F.array(*[F.lit(s) for s in EN_STOPS])
+    n_tok = F.size("tokens")
+    n_uniq = F.size(F.array_distinct("tokens"))
+    stop_occ = F.size(F.expr(
+        "filter(tokens, t -> array_contains(array({}), t))".format(
+            ",".join(f"'{s}'" for s in EN_STOPS)
+        )
+    ))
+    mean_len = F.expr("aggregate(tokens, 0D, (acc, t) -> acc + length(t))") / n_tok
+    uniq_ratio = n_uniq / n_tok
+    stop_ratio = stop_occ / n_tok
+    quality = 0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio) + 0.3 * F.least(
+        mean_len / 8.0, F.lit(1.0)
+    )
+    return d.filter(n_tok > 0).select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(mean_len, 4).alias("mean_tok_len"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def q_token_count(spark, sf):
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_uniq"),
+    )
+
+
+def q_doc_fingerprint(spark, sf):  # content fingerprint (normalization-invariant)
+    d = _docs(spark, sf)
+    return d.select("doc_id", F.md5(F.array_join("tokens", " ")).alias("fp"))
+
+
+def q_multimodal_meta(spark, sf):  # typed metadata over opaque payloads
+    d = _t(spark, sf, "documents")
+    nb = F.octet_length("text").cast("long")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        nb.alias("n_bytes"),
+        (nb % 640 + 16).alias("img_w"),
+        ((nb * 7) % 480 + 16).alias("img_h"),
+        (toks % 30 + 1).cast("long").alias("n_frames"),
+    )
+
+
+def q_set_ops(spark, sf):  # J5 (Obsolete.cs:4-363)
+    d = _docs(spark, sf)
+    es = d.filter(F.col("lang") == "es").select(F.explode("tokens").alias("token")).distinct()
+    zh = d.filter(F.col("lang") == "zh").select(F.explode("tokens").alias("token")).distinct()
+    return es.intersect(zh)
+
+
+def q_agg_lineitem(spark, sf):  # relational agg baseline (TPC-H Q1 shape)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---- rows-only (non-SQL-expressible: hashing internals / iterative) -------
+
+def q_dedup_minhash_lsh(spark, sf):
+    from entitymatch_spark.operators.blocking import (
+        candidate_pairs, lsh_band_keys, minhash_signature,
+    )
+
+    d = _docs(spark, sf)
+    sigs = minhash_signature(d, id_col="doc_id", tokens_col="tokens")
+    keys = lsh_band_keys(sigs, bands=16, rows_per_band=4)
+    return candidate_pairs(keys, max_block=32).select("id_a", "id_b", "n_keys")
+
+
+def q_match_clusters(spark, sf):
+    from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
+
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    res = match_pipeline(pages, MatchConfig(id_col="url", text_col="text"))
+    return res.clusters.select(
+        F.col("doc_id").alias("url_id"), F.col("cluster_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end record linkage on sf0.001 documents."""
+    from entitymatch_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    return q_match_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def inner(spark, sf_dir):
+            from entitymatch_spark.session import ensure_workers_can_import
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+            ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        return inner
+
+    qs = {
+        "scan_documents": q_scan_documents,
+        "scan_dedup": q_scan_dedup,
+        "normalize_text": q_normalize_text,
+        "tokenize_text": q_tokenize_text,
+        "build_posting": q_build_posting,
+        "token_idf": q_token_idf,
+        "doc_total_weight": q_doc_total_weight,
+        "word_freq": q_word_freq,
+        "histogram_count": q_histogram_count,
+        "histogram_summary": q_histogram_summary,
+        "histogram_threshold": q_histogram_threshold,
+        "histogram_topn": q_histogram_topn,
+        "topk_per_group": q_topk_per_group,
+        "parse_numeric_unit": q_parse_numeric_unit,
+        "spelling_alternatives": q_spelling_alternatives,
+        "synonym_expand": q_synonym_expand,
+        "candidate_pairs": q_candidate_pairs,
+        "extend_spans": q_extend_spans,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "score_pairs": q_score_pairs,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_embedding": q_dedup_embedding,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "set_ops": q_set_ops,
+        "agg_lineitem": q_agg_lineitem,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "match_clusters": q_match_clusters,
+    }
+    return {k: wrap(v) for k, v in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    syn_values = ", ".join(f"('{a}', '{b}', {w})" for a, b, w in SYNONYMS)
+    stops_list = ", ".join(f"'{s}'" for s in EN_STOPS)
+    return {
+        "scan_documents": """
+            SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars >= 200
+        """,
+        "scan_dedup": "SELECT DISTINCT lang, source FROM documents",
+        "normalize_text": f"SELECT doc_id, {NORM} AS norm FROM documents",
+        "tokenize_text": f"""
+            SELECT doc_id, array_to_string({TOKS}, ' ') AS toks,
+                   len({TOKS}) AS n_tokens
+            FROM documents
+        """,
+        "build_posting": f"WITH {POS_CTE} SELECT doc_id, pos, token FROM pos",
+        "token_idf": f"""
+            WITH {POS_CTE}, {IDF_CTE}
+            SELECT token, df, round(idf, 6) AS idf FROM idf
+        """,
+        "doc_total_weight": f"""
+            WITH {POS_CTE}, {IDF_CTE}
+            SELECT p.doc_id, round(sum(i.idf), 6) AS total_weight
+            FROM pos p JOIN idf i USING (token) GROUP BY p.doc_id
+        """,
+        "word_freq": f"""
+            WITH {POS_CTE}
+            SELECT token, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+            FROM pos GROUP BY token
+        """,
+        "histogram_count": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+        "histogram_summary": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+                   round(min(value), 2) AS min_value, round(max(value), 2) AS max_value,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "histogram_threshold": """
+            SELECT user_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) >= 20
+        """,
+        "histogram_topn": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY 1 ORDER BY n DESC, event_type ASC LIMIT 5
+        """,
+        "topk_per_group": """
+            SELECT event_type, event_id, value, rnk FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rnk
+              FROM events) WHERE rnk <= 3
+        """,
+        "parse_numeric_unit": """
+            SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_num
+            FROM events
+        """,
+        "spelling_alternatives": f"""
+            WITH probe AS (SELECT DISTINCT unnest({TOKS}) AS t FROM documents WHERE lang = 'de'),
+            voc AS (SELECT DISTINCT unnest({TOKS}) AS t FROM documents WHERE lang = 'en'),
+            exact AS (
+              SELECT p.t AS token, p.t AS alt_token, CAST(0 AS BIGINT) AS distance, 1.0 AS weight
+              FROM probe p WHERE p.t IN (SELECT t FROM voc)),
+            fuzzy AS (
+              SELECT p.t AS token, v.t AS alt_token,
+                     CAST(levenshtein(p.t, v.t) AS BIGINT) AS distance,
+                     round(1.0 / (1.0 + levenshtein(p.t, v.t)), 6) AS weight
+              FROM probe p JOIN voc v
+                ON abs(length(p.t) - length(v.t)) <= 1 AND levenshtein(p.t, v.t) <= 1
+              WHERE p.t NOT IN (SELECT t FROM voc))
+            SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
+        """,
+        "synonym_expand": f"""
+            WITH toks AS (SELECT DISTINCT unnest({TOKS}) AS token FROM documents),
+            syn(token, alt_token, weight) AS (VALUES {syn_values})
+            SELECT token, token AS alt_token, CAST(1.0 AS DOUBLE) AS weight FROM toks
+            UNION ALL
+            SELECT t.token, s.alt_token, CAST(s.weight AS DOUBLE) AS weight
+            FROM toks t JOIN syn s USING (token)
+        """,
+        "candidate_pairs": f"WITH {TRI_CTE} SELECT id_a, id_b, n_keys FROM cand",
+        "extend_spans": f"""
+            WITH {POS_CTE}, {IDF_CTE},
+            posq AS (SELECT pos AS qpos, token FROM pos WHERE doc_id = 0),
+            fr AS (SELECT doc_id FROM documents WHERE lang = 'fr' AND doc_id != 0),
+            pose AS (SELECT p.doc_id AS entity_id, p.pos AS epos, p.token
+                     FROM pos p JOIN fr ON p.doc_id = fr.doc_id),
+            tot AS (SELECT p.doc_id AS entity_id, sum(i.idf) AS total
+                    FROM pos p JOIN fr ON p.doc_id = fr.doc_id
+                    JOIN idf i USING (token) GROUP BY 1),
+            cand AS (SELECT e.entity_id, q.qpos, e.epos, i.idf AS w
+                     FROM posq q JOIN pose e USING (token) JOIN idf i USING (token)),
+            dd AS (SELECT entity_id, qpos - epos AS diag, qpos, max(w) AS w
+                   FROM cand GROUP BY 1, 2, 3),
+            isl AS (SELECT *, qpos - row_number() OVER (PARTITION BY entity_id, diag
+                                                        ORDER BY qpos) AS island FROM dd),
+            sp AS (SELECT entity_id, min(qpos) AS span_start, count(*) AS span_len,
+                          sum(w) AS sw
+                   FROM isl GROUP BY entity_id, diag, island)
+            SELECT s.entity_id, s.span_start, s.span_len,
+                   round(s.sw / t.total, 6) AS score
+            FROM sp s JOIN tot t USING (entity_id) WHERE s.span_len >= 2
+        """,
+        "tfidf_cosine_pairs": f"""
+            WITH {POS_CTE}, {IDF_CTE}, {TRI_CTE},
+            w AS (SELECT p.doc_id, p.token, count(*) * any_value(i.idf) AS w
+                  FROM pos p JOIN idf i USING (token) GROUP BY p.doc_id, p.token),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+            dots AS (SELECT c.id_a, c.id_b, sum(x.w * y.w) AS dot
+                     FROM cand c JOIN w x ON x.doc_id = c.id_a
+                     JOIN w y ON y.doc_id = c.id_b AND y.token = x.token
+                     GROUP BY 1, 2)
+            SELECT c.id_a, c.id_b,
+                   round(coalesce(d.dot, 0.0) / (a.nrm * b.nrm), 4) AS cosine
+            FROM cand c LEFT JOIN dots d ON d.id_a = c.id_a AND d.id_b = c.id_b
+            JOIN nrm a ON a.doc_id = c.id_a JOIN nrm b ON b.doc_id = c.id_b
+        """,
+        "score_pairs": f"""
+            WITH {TRI_CTE},
+            d AS (SELECT doc_id, {NORM} AS norm, list_distinct({TOKS}) AS ts FROM documents),
+            feat AS (
+              SELECT c.id_a, c.id_b,
+                CASE WHEN len(list_distinct(list_concat(a.ts, b.ts))) = 0 THEN 0.0
+                     ELSE len(list_intersect(a.ts, b.ts))
+                          / len(list_distinct(list_concat(a.ts, b.ts))) END AS jaccard,
+                CASE WHEN greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) = 0 THEN 1.0
+                     ELSE 1.0 - levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128))
+                          / greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) END AS lev_sim,
+                jaro_winkler_similarity(a.norm, b.norm) AS jw
+              FROM cand c JOIN d a ON a.doc_id = c.id_a JOIN d b ON b.doc_id = c.id_b)
+            SELECT id_a, id_b, round(jaccard, 4) AS jaccard, round(lev_sim, 4) AS lev_sim,
+                   round(jw, 4) AS jw,
+                   round(0.4 * jaccard + 0.3 * lev_sim + 0.3 * jw, 4) AS score
+            FROM feat
+        """,
+        "dedup_exact": f"""
+            WITH d AS (SELECT doc_id, md5({NORM}) AS fingerprint FROM documents)
+            SELECT doc_id, fingerprint,
+                   min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+                   count(*) OVER (PARTITION BY fingerprint) AS n_dups
+            FROM d
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {TRI_CTE},
+            toksall AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+            posb AS (SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS p FROM toksall),
+            bi AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t AS g
+                   FROM posb a JOIN posb b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+            bs AS (SELECT doc_id, list(g) AS s FROM bi GROUP BY doc_id),
+            j AS (SELECT c.id_a, c.id_b,
+                    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                         ELSE len(list_intersect(a.s, b.s))
+                              / len(list_distinct(list_concat(a.s, b.s))) END AS jaccard
+                  FROM cand c JOIN bs a ON a.doc_id = c.id_a JOIN bs b ON b.doc_id = c.id_b)
+            SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM j
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),
+            n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            p AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+                         list_cosine_similarity(q.e, n.e) AS c
+                  FROM q JOIN n ON q.vec_id != n.vec_id),
+            rk AS (SELECT qid, nid, c,
+                          row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rnk
+                   FROM p)
+            SELECT qid, nid, round(c, 4) AS cosine, rnk FROM rk WHERE rnk <= 5
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        "lang_id": f"""
+            WITH d AS (SELECT doc_id, list_distinct({TOKS}) AS ts FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_intersect(ts, [{stops_list}])) AS BIGINT) AS stop_hits,
+                   CASE WHEN len(list_intersect(ts, [{stops_list}])) >= 3 THEN 'en'
+                        WHEN len(list_intersect(ts, [{stops_list}])) >= 1 THEN 'maybe_en'
+                        ELSE 'und' END AS pred_lang
+            FROM d
+        """,
+        "quality_score": f"""
+            WITH d AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+            m AS (SELECT doc_id, len(tk) AS n_tokens,
+                         len(list_distinct(tk)) AS n_uniq,
+                         len(list_filter(tk, t -> list_contains([{stops_list}], t))) AS stop_occ,
+                         list_aggregate(list_transform(tk, t -> length(t)), 'sum') AS tot_len
+                  FROM d WHERE len(tk) > 0)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(n_uniq / n_tokens, 4) AS uniq_ratio,
+                   round(stop_occ / n_tokens, 4) AS stop_ratio,
+                   round(tot_len / n_tokens, 4) AS mean_tok_len,
+                   round(0.4 * (n_uniq / n_tokens) + 0.3 * (1.0 - stop_occ / n_tokens)
+                         + 0.3 * least(tot_len / n_tokens / 8.0, 1.0), 4) AS quality
+            FROM m
+        """,
+        "token_count": f"""
+            SELECT doc_id, len({TOKS}) AS n_tokens,
+                   len(list_distinct({TOKS})) AS n_uniq
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp FROM documents
+        """,
+        "multimodal_meta": r"""
+            WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                              len(regexp_split_to_array(trim(text), '\s+')) AS toks
+                       FROM documents)
+            SELECT doc_id, n_bytes, n_bytes % 640 + 16 AS img_w,
+                   (n_bytes * 7) % 480 + 16 AS img_h,
+                   CAST(toks % 30 + 1 AS BIGINT) AS n_frames
+            FROM d
+        """,
+        "set_ops": f"""
+            SELECT DISTINCT unnest({TOKS}) AS token FROM documents WHERE lang = 'es'
+            INTERSECT
+            SELECT DISTINCT unnest({TOKS}) AS token FROM documents WHERE lang = 'zh'
+        """,
+        "agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                   count(*) AS n
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+    }
