@@ -1,0 +1,90 @@
+"""Resumable variant of the match pipeline: every stage checkpointed.
+
+Stage graph (each committed via CheckpointManager, so a kill at any
+point resumes without redoing committed work; the scoring stage — the
+expensive one at 100 TB — commits per hash bucket of the pair set, so
+even a mid-stage kill loses at most one bucket):
+
+    docs -> idf -> keys -> pairs -> scored[bucket 0..n) -> components
+
+On a cluster the same layout writes Iceberg tables; buckets map to
+partition predicates and the manifest to table snapshots.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entitymatch_spark.operators.blocking import (
+    candidate_pairs,
+    lsh_band_keys,
+    minhash_signature,
+    token_blocking_keys,
+)
+from entitymatch_spark.operators.clustering import assign_clusters, connected_components
+from entitymatch_spark.operators.posting import (
+    build_posting,
+    collect_idf_map,
+    token_idf,
+)
+from entitymatch_spark.operators.scoring import score_pairs
+from entitymatch_spark.plans.checkpoint import CheckpointManager
+from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
+
+
+def resumable_match_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str | Path,
+    cfg: MatchConfig | None = None,
+    n_score_buckets: int = 16,
+) -> dict[str, DataFrame]:
+    cfg = cfg or MatchConfig()
+    ck = CheckpointManager(spark, workdir)
+
+    docs = ck.stage("docs", lambda: prepare_docs(pages, cfg))
+    n_docs = docs.count()
+
+    idf = ck.stage("idf", lambda: token_idf(build_posting(docs), n_docs=n_docs))
+
+    def _keys() -> DataFrame:
+        posting = build_posting(docs)
+        keys = token_blocking_keys(posting, idf, min_idf=cfg.min_idf)
+        if cfg.use_lsh:
+            sigs = minhash_signature(
+                docs, num_hashes=cfg.num_hashes, seed=cfg.seed
+            )
+            keys = keys.unionByName(
+                lsh_band_keys(sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band)
+            )
+        return keys
+
+    keys = ck.stage("keys", _keys)
+    pairs = ck.stage("pairs", lambda: candidate_pairs(keys, max_block=cfg.max_block))
+    idf_map = collect_idf_map(idf)
+
+    def _score_bucket(b: int) -> DataFrame:
+        bucket = pairs.filter(
+            F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_score_buckets)) == b
+        )
+        return score_pairs(bucket, docs, idf_map, weights=cfg.weights)
+
+    scored = ck.bucketed_stage("scored", range(n_score_buckets), _score_bucket)
+
+    components = ck.stage(
+        "components",
+        lambda: connected_components(
+            scored.filter(F.col("score") >= cfg.threshold).select("id_a", "id_b"),
+            "id_a",
+            "id_b",
+        ),
+    )
+    clusters = assign_clusters(docs.select("doc_id"), components)
+    return {
+        "docs": docs, "idf": idf, "keys": keys, "pairs": pairs,
+        "scored": scored, "components": components, "clusters": clusters,
+        "checkpoints": ck,
+    }

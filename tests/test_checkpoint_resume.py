@@ -1,0 +1,125 @@
+"""Kill/rerun resumability (north_star): completed work is never redone."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatch_spark.plans.checkpoint import CheckpointManager
+from entitymatch_spark.plans.pipeline import MatchConfig
+from entitymatch_spark.plans.resumable import resumable_match_pipeline
+from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+
+def test_stage_computes_once(spark, tmp_path):
+    ck = CheckpointManager(spark, tmp_path)
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return spark.range(10).withColumn("x", F.col("id") * 2)
+
+    a = ck.stage("s1", fn)
+    b = ck.stage("s1", fn)
+    assert len(calls) == 1  # second call read the checkpoint
+    assert sorted(r["x"] for r in b.collect()) == sorted(r["x"] for r in a.collect())
+    m = json.loads((tmp_path / "s1.manifest.json").read_text())
+    assert m["complete"] and m["rows"] == 10 and m["n_files"] >= 1
+
+
+def test_bucketed_stage_resumes_mid_stage(spark, tmp_path):
+    ck = CheckpointManager(spark, tmp_path)
+    calls = []
+
+    def fn(b):
+        calls.append(b)
+        return spark.range(b * 10, b * 10 + 5).withColumn("bucket", F.lit(b))
+
+    # simulated kill: only buckets 0 and 1 complete
+    ck.bucketed_stage("sc", [0, 1], fn)
+    assert calls == [0, 1]
+    m = json.loads((tmp_path / "sc.manifest.json").read_text())
+    assert m["buckets_done"] == [0, 1]
+
+    # rerun with the full bucket list: only 2 and 3 are computed
+    ck2 = CheckpointManager(spark, tmp_path)
+    out = ck2.bucketed_stage("sc", [0, 1, 2, 3], fn)
+    assert calls == [0, 1, 2, 3]  # 0 and 1 NOT re-run
+    assert out.count() == 20
+    m = json.loads((tmp_path / "sc.manifest.json").read_text())
+    assert m["complete"] and m["buckets_done"] == [0, 1, 2, 3]
+
+    # third run: nothing recomputed at all
+    ck3 = CheckpointManager(spark, tmp_path)
+    ck3.bucketed_stage("sc", [0, 1, 2, 3], fn)
+    assert calls == [0, 1, 2, 3]
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark):
+    fx = generate_corpus(n_clusters=40, seed=13)
+    return fx, corpus_to_spark(spark, fx)["pages"]
+
+
+def test_resumable_pipeline_matches_fresh_run(spark, tmp_path, small_corpus):
+    fx, pages = small_corpus
+    cfg = MatchConfig()
+    r1 = resumable_match_pipeline(spark, pages, tmp_path / "run", cfg, n_score_buckets=4)
+    first = {(r["doc_id"], r["cluster_id"]) for r in r1["clusters"].collect()}
+
+    # simulate a restart: new manager over the same workdir
+    r2 = resumable_match_pipeline(spark, pages, tmp_path / "run", cfg, n_score_buckets=4)
+    second = {(r["doc_id"], r["cluster_id"]) for r in r2["clusters"].collect()}
+    assert first == second
+
+    # metrics recorded for every stage
+    stages = {json.loads(l)["stage"] for l in open(tmp_path / "run" / "metrics.jsonl")}
+    assert {"docs", "idf", "keys", "pairs", "scored", "components"} <= stages
+
+
+def test_resumable_pipeline_kill_between_buckets(spark, tmp_path, small_corpus):
+    """Kill after 2 of 4 scoring buckets; rerun must not rescore them."""
+    fx, pages = small_corpus
+    cfg = MatchConfig()
+    ck = CheckpointManager(spark, tmp_path / "k")
+
+    # run the head stages + half the scoring manually (simulated kill)
+    from entitymatch_spark.operators.posting import build_posting, collect_idf_map, token_idf
+    from entitymatch_spark.operators.blocking import candidate_pairs, token_blocking_keys
+    from entitymatch_spark.operators.scoring import score_pairs
+    from entitymatch_spark.plans.pipeline import prepare_docs
+
+    docs = ck.stage("docs", lambda: prepare_docs(pages, cfg))
+    n = docs.count()
+    idf = ck.stage("idf", lambda: token_idf(build_posting(docs), n_docs=n))
+    keys = ck.stage("keys", lambda: token_blocking_keys(build_posting(docs), idf, cfg.min_idf))
+    pairs = ck.stage("pairs", lambda: candidate_pairs(keys, max_block=cfg.max_block))
+    idf_map = collect_idf_map(idf)
+
+    def bucket(b):
+        return score_pairs(
+            pairs.filter(F.pmod(F.xxhash64("id_a", "id_b"), F.lit(4)) == b),
+            docs, idf_map, weights=cfg.weights,
+        )
+
+    ck.bucketed_stage("scored", [0, 1], bucket)  # ...kill here
+
+    manifest_before = json.loads((tmp_path / "k" / "scored.manifest.json").read_text())
+    rows_before = manifest_before["rows_by_bucket"]
+
+    # full pipeline over the same workdir: resumes, completes buckets 2,3 only
+    calls = []
+
+    def counting_bucket(b):
+        calls.append(b)
+        return bucket(b)
+
+    ck2 = CheckpointManager(spark, tmp_path / "k")
+    scored = ck2.bucketed_stage("scored", [0, 1, 2, 3], counting_bucket)
+    assert calls == [2, 3], f"rescored completed buckets: {calls}"
+    manifest_after = json.loads((tmp_path / "k" / "scored.manifest.json").read_text())
+    for b in ("0", "1"):
+        assert manifest_after["rows_by_bucket"][b] == rows_before[b]
+    assert scored.count() == sum(manifest_after["rows_by_bucket"].values())
