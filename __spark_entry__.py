@@ -347,15 +347,9 @@ def q_score_pairs(spark, sf):  # M3 features (JW/lev/jaccard blend)
 
 
 def q_dedup_exact(spark, sf):  # exact dedup via content hash
-    from pyspark.sql import Window
+    from entitymatch_spark.operators.dedup import exact_dedup
 
-    d = _docs(spark, sf).select("doc_id", F.md5("norm").alias("fingerprint"))
-    w = Window.partitionBy("fingerprint")
-    return d.select(
-        "doc_id", "fingerprint",
-        F.min("doc_id").over(w).alias("canonical_id"),
-        F.count("*").over(w).alias("n_dups"),
-    )
+    return exact_dedup(_docs(spark, sf), text_col="norm")
 
 
 def q_dedup_ngram_jaccard(spark, sf):  # word-bigram jaccard over candidates
@@ -414,56 +408,35 @@ def q_dedup_embedding(spark, sf):  # embedding-cosine near-dup pairs
     )
 
 
-def q_lang_id(spark, sf):  # stopword-hit language heuristic
-    d = _docs(spark, sf)
-    stops = F.array(*[F.lit(s) for s in EN_STOPS])
-    hits = F.size(F.array_intersect(F.array_distinct("tokens"), stops))
-    pred = (
-        F.when(hits >= 3, F.lit("en"))
-        .when(hits >= 1, F.lit("maybe_en"))
-        .otherwise(F.lit("und"))
-    )
-    return d.select("doc_id", hits.cast("long").alias("stop_hits"), pred.alias("pred_lang"))
+def q_lang_id(spark, sf):  # stopword-vote language heuristic
+    from entitymatch_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf))
 
 
 def q_quality_score(spark, sf):  # length/stopword/uniqueness quality
-    d = _docs(spark, sf)
-    stops = F.array(*[F.lit(s) for s in EN_STOPS])
-    n_tok = F.size("tokens")
-    n_uniq = F.size(F.array_distinct("tokens"))
-    stop_occ = F.size(F.expr(
-        "filter(tokens, t -> array_contains(array({}), t))".format(
-            ",".join(f"'{s}'" for s in EN_STOPS)
-        )
-    ))
-    mean_len = F.expr("aggregate(tokens, 0D, (acc, t) -> acc + length(t))") / n_tok
-    uniq_ratio = n_uniq / n_tok
-    stop_ratio = stop_occ / n_tok
-    quality = 0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio) + 0.3 * F.least(
-        mean_len / 8.0, F.lit(1.0)
-    )
-    return d.filter(n_tok > 0).select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(uniq_ratio, 4).alias("uniq_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(mean_len, 4).alias("mean_tok_len"),
-        F.round(quality, 4).alias("quality"),
+    from entitymatch_spark.operators.textstats import quality_score
+
+    q = quality_score(_docs(spark, sf))
+    return q.select(
+        "doc_id", "n_tokens",
+        F.round("uniq_ratio", 4).alias("uniq_ratio"),
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        F.round("mean_tok_len", 4).alias("mean_tok_len"),
+        F.round("quality", 4).alias("quality"),
     )
 
 
 def q_token_count(spark, sf):
-    d = _docs(spark, sf)
-    return d.select(
-        "doc_id",
-        F.size("tokens").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("tokens")).cast("long").alias("n_uniq"),
-    )
+    from entitymatch_spark.operators.textstats import token_count
+
+    return token_count(_docs(spark, sf))
 
 
 def q_doc_fingerprint(spark, sf):  # content fingerprint (normalization-invariant)
-    d = _docs(spark, sf)
-    return d.select("doc_id", F.md5(F.array_join("tokens", " ")).alias("fp"))
+    from entitymatch_spark.operators.textstats import content_fingerprint
+
+    return content_fingerprint(_docs(spark, sf))
 
 
 def q_multimodal_meta(spark, sf):  # typed metadata over opaque payloads
@@ -511,6 +484,38 @@ def q_dedup_minhash_lsh(spark, sf):
     sigs = minhash_signature(d, id_col="doc_id", tokens_col="tokens")
     keys = lsh_band_keys(sigs, bands=16, rows_per_band=4)
     return candidate_pairs(keys, max_block=32).select("id_a", "id_b", "n_keys")
+
+
+def q_dedup_simhash(spark, sf):
+    from entitymatch_spark.operators.dedup import simhash_dedup_pairs
+
+    return simhash_dedup_pairs(_docs(spark, sf), max_hamming=12)
+
+
+def q_winnowing_fingerprints(spark, sf):
+    from entitymatch_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf), k=4, window=5)
+
+
+def q_ann_lsh_topk(spark, sf):
+    from entitymatch_spark.operators.ann import rp_lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = rp_lsh_topk(q, e, dim=64, k=5, n_planes=8, n_tables=8)
+    return out.select("qid", "nid", F.round("cosine", 4).alias("cosine"), "rnk")
+
+
+def q_media_features(spark, sf):
+    from entitymatch_spark.operators.multimodal import extract_media_features
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+    )
+    return extract_media_features(media)
 
 
 def q_match_clusters(spark, sf):
@@ -576,6 +581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "agg_lineitem": q_agg_lineitem,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
         "match_clusters": q_match_clusters,
     }
     return {k: wrap(v) for k, v in qs.items()}
@@ -706,7 +715,7 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) = 0 THEN 1.0
                      ELSE 1.0 - levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128))
                           / greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) END AS lev_sim,
-                jaro_winkler_similarity(a.norm, b.norm) AS jw
+                jaro_winkler_similarity(substr(a.norm, 1, 256), substr(b.norm, 1, 256)) AS jw
               FROM cand c JOIN d a ON a.doc_id = c.id_a JOIN d b ON b.doc_id = c.id_b)
             SELECT id_a, id_b, round(jaccard, 4) AS jaccard, round(lev_sim, 4) AS lev_sim,
                    round(jw, 4) AS jw,
@@ -755,13 +764,19 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.35
         """,
         "lang_id": f"""
-            WITH d AS (SELECT doc_id, list_distinct({TOKS}) AS ts FROM documents)
-            SELECT doc_id,
-                   CAST(len(list_intersect(ts, [{stops_list}])) AS BIGINT) AS stop_hits,
-                   CASE WHEN len(list_intersect(ts, [{stops_list}])) >= 3 THEN 'en'
-                        WHEN len(list_intersect(ts, [{stops_list}])) >= 1 THEN 'maybe_en'
-                        ELSE 'und' END AS pred_lang
-            FROM d
+            WITH d AS (SELECT doc_id, list_distinct({TOKS}) AS ts FROM documents),
+            h AS (SELECT doc_id,
+                    len(list_intersect(ts, [{stops_list}])) AS en_hits,
+                    len(list_intersect(ts, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS de_hits,
+                    len(list_intersect(ts, ['le','la','les','et','est','un','une','des','que','pour'])) AS fr_hits
+                  FROM d)
+            SELECT doc_id, CAST(en_hits AS BIGINT) AS en_hits,
+                   CAST(de_hits AS BIGINT) AS de_hits, CAST(fr_hits AS BIGINT) AS fr_hits,
+                   CASE WHEN greatest(en_hits, de_hits, fr_hits) = 0 THEN 'und'
+                        WHEN en_hits = greatest(en_hits, de_hits, fr_hits) THEN 'en'
+                        WHEN de_hits = greatest(en_hits, de_hits, fr_hits) THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM h
         """,
         "quality_score": f"""
             WITH d AS (SELECT doc_id, {TOKS} AS tk FROM documents),

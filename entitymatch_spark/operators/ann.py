@@ -1,0 +1,125 @@
+"""Approximate nearest neighbor over embedding columns.
+
+- ``cosine_topk``: exact brute-force top-k (the baseline). Dot products
+  are zip_with/aggregate column expressions — JVM-side, codegen'd; the
+  top-k is a rank-limited window (per-partition top-k sort, no global
+  sort).
+- ``rp_lsh_topk``: the scale path — random-hyperplane LSH. Seeded
+  hyperplanes (content-independent, partition-independent) hash each
+  vector to one bucket per table via a vectorized numpy pandas UDF
+  (one matmul per Arrow batch); queries probe their buckets, candidates
+  are exact-reranked. Tunables: n_planes (bucket granularity) x
+  n_tables (recall boost).
+
+At 100 TB the brute-force path is a cartesian shuffle — only valid for
+small query sets against broadcastable corpora; rp_lsh turns it into a
+bucket equi-join with bounded candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + v * v)"))
+    nb = F.sqrt(F.expr(f"aggregate({b}, 0D, (acc, v) -> acc + v * v)"))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, nid, cosine, rnk): exact top-k by cosine, deterministic ties."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("ea")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("eb")
+    )
+    pairs = q.crossJoin(c).filter(F.col("qid") != F.col("nid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        pairs.withColumn("cosine", cosine_expr("ea", "eb"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+def _bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def batch(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = []
+        for t in range(n_tables):
+            bits = (m @ planes[t].T) > 0  # (batch, n_planes)
+            out.append(bits @ powers + (t << n_planes))
+        return pd.Series(list(np.stack(out, axis=1)))
+
+    return F.pandas_udf(batch, "array<long>")
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): one bucket per table per vector (seeded hyperplanes)."""
+    udf = _bucket_udf(dim, n_planes, n_tables, seed)
+    return df.select(
+        F.col(id_col),
+        F.explode(udf(F.col(vec_col).cast("array<double>"))).alias("bucket"),
+    )
+
+
+def rp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket-join candidates, exact cosine rerank."""
+    qb = rp_lsh_buckets(queries, dim, n_planes, n_tables, seed, id_col, vec_col)
+    cb = rp_lsh_buckets(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
+    cand = (
+        qb.select(F.col(id_col).alias("qid"), "bucket")
+        .join(cb.select(F.col(id_col).alias("nid"), "bucket"), "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("ea")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("eb")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.join(q, "qid").join(c, "nid")
+        .withColumn("cosine", cosine_expr("ea", "eb"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )

@@ -1,0 +1,164 @@
+"""Deduplication family for training-data pipelines.
+
+- exact: content-hash groupBy (md5 of normalized text)
+- MinHash-LSH: blocking.py signatures + band keys -> verified jaccard
+- SimHash: 64-bit signature, computed ENTIRELY JVM-side (no UDF):
+  explode tokens -> per-bit signed tf sums over xxhash64 bits ->
+  reassemble the long; near-dup candidates via 4x16-bit band blocking
+  (any pair at hamming distance <= 3 shares at least one intact band
+  by pigeonhole over 4 bands), verified with bit_count(xor).
+- n-gram jaccard: word n-gram shingle sets, array_intersect/union.
+
+All signatures are content-deterministic (hash-seeded, never
+partition- or time-dependent) so identical inputs produce identical
+dedup decisions at any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entitymatch_spark.operators.blocking import (
+    candidate_pairs,
+    lsh_band_keys,
+    minhash_signature,
+)
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "norm_text"
+) -> DataFrame:
+    """(id, fingerprint, canonical_id, n_dups): exact-duplicate groups."""
+    from pyspark.sql import Window
+
+    d = docs.select(id_col, F.md5(F.col(text_col)).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return d.select(
+        id_col,
+        "fingerprint",
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("n_dups"),
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.7,
+    max_block: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact token-set jaccard."""
+    sigs = minhash_signature(docs, id_col, tokens_col, num_hashes, seed)
+    keys = lsh_band_keys(sigs, bands, rows_per_band, id_col)
+    pairs = candidate_pairs(keys, max_block=max_block, id_col=id_col)
+    sets_ = docs.select(
+        F.col(id_col), F.array_distinct(tokens_col).alias("tset")
+    )
+    a = sets_.select(F.col(id_col).alias("id_a"), F.col("tset").alias("sa"))
+    b = sets_.select(F.col(id_col).alias("id_b"), F.col("tset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signature(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(id, simhash long): 64-bit SimHash of the token multiset.
+
+    bit_i(doc) = 1  iff  sum over tokens of tf * sign(bit_i(xxhash64(tok)))
+    is positive. Pure column expressions: one explode + one 64-column
+    hash aggregate (map-side combinable), then bitwise reassembly.
+    """
+    exploded = (
+        docs.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("token"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_hamming: int = 3,
+    max_block: int = 256,
+) -> DataFrame:
+    """Near-dup pairs at hamming(simhash) <= max_hamming.
+
+    Blocking: split the 64-bit signature into 4 16-bit bands; any pair
+    within hamming distance 3 agrees exactly on >= 1 band (pigeonhole),
+    so banding loses nothing for max_hamming <= 3. Verification:
+    bit_count(xor) — all JVM-side.
+    """
+    sigs = simhash_signature(docs, id_col, tokens_col)
+    bands = [
+        F.concat(
+            F.lit(f"sh{i}:"),
+            F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+        )
+        for i in range(4)
+    ]
+    keys = sigs.select(F.col(id_col), F.explode(F.array(*bands)).alias("key"))
+    pairs = candidate_pairs(keys, max_block=max_block, id_col=id_col)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """pairs + word-n-gram-set jaccard (verification primitive)."""
+    grams = F.when(
+        F.size(tokens_col) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, size({tokens_col}) - {n}), i -> "
+            + f"concat_ws(' ', {', '.join(f'{tokens_col}[i+{j}]' for j in range(n))}))"
+        )
+    )
+    sets_ = docs.select(F.col(id_col), F.array_distinct(grams).alias("gset"))
+    a = sets_.select(F.col(id_col).alias("id_a"), F.col("gset").alias("sa"))
+    b = sets_.select(F.col(id_col).alias("id_b"), F.col("gset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return pairs.join(a, "id_a").join(b, "id_b").withColumn("jaccard", jac).drop("sa", "sb")

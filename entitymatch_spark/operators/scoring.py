@@ -44,16 +44,17 @@ DEFAULT_WEIGHTS = {
 }
 DEFAULT_THRESHOLD = 0.60
 LEV_PREFIX = 128  # chars compared by the JVM levenshtein (ref MAX_LEN=128)
+JW_PREFIX = 256   # chars compared by Jaro-Winkler (O(n^2) window scan)
 
 
-def _pair_udf(idf_bcast):
+def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX):
     def batch(
         text_a: pd.Series, text_b: pd.Series, toks_a: pd.Series, toks_b: pd.Series
     ) -> pd.DataFrame:
         idf = idf_bcast.value
         jws, cosines, conts = [], [], []
         for ta, tb, ka, kb in zip(text_a, text_b, toks_a, toks_b):
-            jws.append(jaro_winkler(ta or "", tb or ""))
+            jws.append(jaro_winkler((ta or "")[:jw_prefix], (tb or "")[:jw_prefix]))
             cos, cont = tfidf_cosine_and_containment(
                 list(ka) if ka is not None else [],
                 list(kb) if kb is not None else [],
@@ -76,6 +77,7 @@ def score_pairs(
     weights: dict[str, float] | None = None,
     threshold: float | None = None,
     lev_prefix: int = LEV_PREFIX,
+    jw_prefix: int = JW_PREFIX,
 ) -> DataFrame:
     """Score (id_a, id_b) candidate pairs against docs(id, text, tokens).
 
@@ -108,7 +110,7 @@ def score_pairs(
     union = F.size(F.array_union("toks_a", "toks_b"))
     jaccard = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
-    udf = _pair_udf(idf_bcast)
+    udf = _pair_udf(idf_bcast, jw_prefix)
     feats = (
         hydrated.withColumn("lev_sim", lev_sim)
         .withColumn("jaccard", jaccard)

@@ -1,0 +1,136 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting (content hash
++ winnowing). Everything is a pure column expression / window — no
+Python in the hot path, fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"]
+FR_STOPWORDS = ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"]
+
+
+def _hits(tokens_col: str, words: list[str]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(F.array_distinct(tokens_col), arr))
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(id, en/de/fr stopword hits, pred_lang): n-gram-free stopword-vote
+    language heuristic; argmax with deterministic tie order en>de>fr,
+    'und' when nothing matches."""
+    en, de, fr = (
+        _hits(tokens_col, EN_STOPWORDS),
+        _hits(tokens_col, DE_STOPWORDS),
+        _hits(tokens_col, FR_STOPWORDS),
+    )
+    best = F.greatest(en, de, fr)
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        F.col(id_col),
+        en.cast("long").alias("en_hits"),
+        de.cast("long").alias("de_hits"),
+        fr.cast("long").alias("fr_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """(id, n_tokens, uniq_ratio, stop_ratio, mean_tok_len, quality).
+
+    quality = 0.4*uniq_ratio + 0.3*(1 - stop_ratio)
+              + 0.3*min(mean_tok_len / 8, 1)
+    """
+    stopwords = stopwords or EN_STOPWORDS
+    sw = ",".join(f"'{s}'" for s in stopwords)
+    n_tok = F.size(tokens_col)
+    n_uniq = F.size(F.array_distinct(tokens_col))
+    stop_occ = F.size(F.expr(f"filter({tokens_col}, t -> array_contains(array({sw}), t))"))
+    mean_len = F.expr(f"aggregate({tokens_col}, 0D, (acc, t) -> acc + length(t))") / n_tok
+    uniq_ratio = n_uniq / n_tok
+    stop_ratio = stop_occ / n_tok
+    quality = (
+        0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(mean_len / 8.0, F.lit(1.0))
+    )
+    return docs.filter(n_tok > 0).select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_len.alias("mean_tok_len"),
+        quality.alias("quality"),
+    )
+
+
+def token_count(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_col).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens_col)).cast("long").alias("n_uniq"),
+    )
+
+
+def content_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(id, fp): normalization-invariant content hash (md5 over tokens)."""
+    return docs.select(
+        F.col(id_col), F.md5(F.array_join(tokens_col, " ")).alias("fp")
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, fp long): winnowing (Schleimer et al., SIGMOD'03) fingerprint
+    *set* per document — the min k-gram hash in every sliding window of
+    ``window`` consecutive k-grams, deduplicated.
+
+    Guarantees any shared run of >= k + window - 1 tokens between two
+    documents yields a shared fingerprint. All JVM-side: k-grams via
+    transform/sequence, rolling min via a bounded window frame.
+    """
+    grams = F.when(
+        F.size(tokens_col) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, size({tokens_col}) - {k}), i -> "
+            + f"concat_ws(' ', {', '.join(f'{tokens_col}[i+{j}]' for j in range(k))}))"
+        )
+    )
+    hashed = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).withColumn("h", F.xxhash64("gram"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .select(id_col, "fp")
+        .distinct()
+    )

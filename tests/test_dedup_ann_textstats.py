@@ -1,0 +1,185 @@
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from entitymatch_spark.functions.text import tokenize
+from entitymatch_spark.operators.ann import cosine_topk, rp_lsh_topk
+from entitymatch_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+    simhash_signature,
+)
+from entitymatch_spark.operators.multimodal import extract_media_features
+from entitymatch_spark.operators.textstats import (
+    content_fingerprint,
+    lang_id,
+    quality_score,
+    winnowing_fingerprints,
+)
+from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today".split()
+    rows = [
+        (0, base),
+        (1, base),                               # exact dup of 0
+        (2, base[:-1] + ["tonight"]),            # near dup (1 token changed)
+        (3, [w.upper().lower() for w in base]),  # same content
+        (4, "completely different words about spark engines and parquet files here".split()),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark).select("doc_id", F.array_join("tokens", " ").alias("norm_text"))
+    out = {r["doc_id"]: (r["canonical_id"], r["n_dups"]) for r in exact_dedup(d).collect()}
+    assert out[0] == (0, 3) and out[1] == (0, 3) and out[3] == (0, 3)
+    assert out[4] == (4, 1)
+
+
+def test_minhash_dedup_pairs(spark):
+    out = minhash_dedup_pairs(_docs(spark), jaccard_threshold=0.7).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in got and (0, 3) in got and (1, 3) in got
+    assert all(4 not in p for p in got)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert jac[(0, 1)] == 1.0
+
+
+def test_simhash(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signature(_docs(spark)).collect()}
+    assert sigs[0] == sigs[1] == sigs[3]
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+    assert 0 < ham(0, 2) <= 16          # near dup: small distance
+    assert ham(0, 4) > 16               # unrelated: large distance
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_dedup_pairs(_docs(spark), max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0 and (0, 3) in pairs
+    # deterministic across partitionings
+    s2 = {r["doc_id"]: r["simhash"] for r in
+          simhash_signature(_docs(spark).repartition(5)).collect()}
+    assert s2 == sigs
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 4)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(pairs, _docs(spark), n=2).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+    assert out[(0, 4)] == 0.0
+
+
+def _embeddings(spark, n=80, dim=16, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_vs_bruteforce_oracle(spark):
+    import math
+
+    e = _embeddings(spark)
+    out = cosine_topk(e.filter("vec_id < 3"), e, k=5)
+    rows = [(r["qid"], r["nid"], r["cosine"], r["rnk"]) for r in out.collect()]
+    vecs = {r["vec_id"]: r["embedding"] for r in e.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for q in range(3):
+        want = sorted(
+            ((cos(vecs[q], vecs[n]), n) for n in vecs if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got = sorted([(r[1], r[3]) for r in rows if r[0] == q], key=lambda t: t[1])
+        assert [n for n, _ in got] == [n for _, n in want]
+
+
+def test_rp_lsh_recall(spark):
+    e = _embeddings(spark, n=120, dim=16)
+    q = e.filter("vec_id < 10")
+    exact = {(r["qid"], r["nid"]) for r in cosine_topk(q, e, k=5).collect()}
+    approx = {(r["qid"], r["nid"]) for r in
+              rp_lsh_topk(q, e, dim=16, k=5, n_planes=6, n_tables=12).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    # determinism across partitionings
+    approx2 = {(r["qid"], r["nid"]) for r in
+               rp_lsh_topk(q.repartition(3), e.repartition(7), dim=16, k=5,
+                           n_planes=6, n_tables=12).collect()}
+    assert approx == approx2
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (1, "the cat is on the mat and it is happy with the sun".split()),
+        (2, "der hund ist nicht mit der katze und das ist gut".split()),
+        (3, "le chat est sur la table et il est content pour nous".split()),
+        (4, "zzz qqq www".split()),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    pred = {r["doc_id"]: r["pred_lang"] for r in lang_id(d).collect()}
+    assert pred == {1: "en", 2: "de", 3: "fr", 4: "und"}
+    q = {r["doc_id"]: r for r in quality_score(d).collect()}
+    assert q[4]["stop_ratio"] == 0.0 and q[4]["uniq_ratio"] == 1.0
+    assert q[1]["stop_ratio"] > 0.3
+    assert all(0 <= r["quality"] <= 1.0001 for r in q.values())
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    rng = random.Random(7)
+    shared = [f"s{i}" for i in range(12)]  # a shared 12-token run
+    a = [f"a{rng.randrange(99)}" for _ in range(20)] + shared + ["a_end"]
+    b = ["b_start"] + shared + [f"b{rng.randrange(99)}" for _ in range(25)]
+    c = [f"c{i}" for i in range(30)]
+    d = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, tokens array<string>"
+    )
+    fps = winnowing_fingerprints(d, k=4, window=5)
+    sets = {}
+    for r in fps.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    # shared run of 12 >= k + window - 1 = 8 -> must share a fingerprint
+    assert sets[0] & sets[1]
+    assert not (sets[0] & sets[2])
+
+
+def test_content_fingerprint_matches_dup(spark):
+    d = _docs(spark)
+    fp = {r["doc_id"]: r["fp"] for r in content_fingerprint(d).collect()}
+    assert fp[0] == fp[1] == fp[3] and fp[0] != fp[4]
+
+
+def test_multimodal_features(spark):
+    fx = generate_corpus(n_clusters=10, seed=42)
+    pages = corpus_to_spark(spark, fx)["pages"]
+    media = pages.select(
+        F.col("url").alias("doc_id"),
+        F.col("html").alias("payload"),
+        F.lit("image").alias("media_type"),
+    )
+    out = extract_media_features(media)
+    rows = out.collect()
+    assert len(rows) == pages.count()
+    assert all(r["decode_status"] == "stubbed" for r in rows)
+    assert all(r["n_bytes"] > 0 and 16 <= r["width"] and 16 <= r["height"] for r in rows)
+    # deterministic: same payload -> same features
+    again = {r["doc_id"]: (r["sha1"], r["width"], r["height"]) for r in
+             extract_media_features(media.repartition(4)).collect()}
+    first = {r["doc_id"]: (r["sha1"], r["width"], r["height"]) for r in rows}
+    assert first == again
+    # null payload probe
+    nulls = spark.createDataFrame(
+        [("x", None, "image")], "doc_id string, payload binary, media_type string"
+    )
+    r = extract_media_features(nulls).collect()[0]
+    assert r["n_bytes"] == 0 and r["decode_status"] == "stubbed"
