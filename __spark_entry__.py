@@ -452,6 +452,48 @@ def q_multimodal_meta(spark, sf):  # typed metadata over opaque payloads
     )
 
 
+SCAN_PHRASES = ["table scan", "hash join", "group by", "sort merge", "the fast"]
+
+
+def q_multi_pattern_first(spark, sf):  # J8 FindFirst (StringSearch.cs:362-442)
+    from entitymatch_spark.operators.textsearch import multi_pattern_scan
+
+    d = _docs(spark, sf).withColumnRenamed("norm", "norm_text")
+    return multi_pattern_scan(
+        d, SCAN_PHRASES, text_col="norm_text", first_only=True
+    ).select("doc_id", "phrase", F.col("start").cast("long").alias("start"))
+
+
+def q_token_rejoin(spark, sf):  # P9 ConcatSubString (Util.cs:112-132)
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice("tokens", 1, 5), " ").alias("head5"),
+        F.array_join(F.slice("tokens", 3, 4), " ").alias("mid4"),
+    )
+
+
+def q_char_class_stats(spark, sf):  # P7 char-class predicates (Util.cs:148-163)
+    d = _docs(spark, sf)
+    all_digit = F.size(F.expr("filter(tokens, t -> t rlike '^[0-9]+$')"))
+    all_alpha = F.size(F.expr("filter(tokens, t -> t rlike '^[a-z]+$')"))
+    has_digit = F.size(F.expr("filter(tokens, t -> t rlike '[0-9]')"))
+    return d.select(
+        "doc_id",
+        all_digit.cast("long").alias("n_all_digit"),
+        all_alpha.cast("long").alias("n_all_alpha"),
+        has_digit.cast("long").alias("n_has_digit"),
+    )
+
+
+def q_json_export(spark, sf):  # S5 phrases.json sink shape (analyze/Program.cs:98-132)
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("lang"), F.col("n_chars"))).alias("js"),
+    )
+
+
 def q_set_ops(spark, sf):  # J5 (Obsolete.cs:4-363)
     d = _docs(spark, sf)
     es = d.filter(F.col("lang") == "es").select(F.explode("tokens").alias("token")).distinct()
@@ -579,6 +621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "set_ops": q_set_ops,
+        "multi_pattern_first": q_multi_pattern_first,
+        "token_rejoin": q_token_rejoin,
+        "char_class_stats": q_char_class_stats,
+        "json_export": q_json_export,
         "agg_lineitem": q_agg_lineitem,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -814,6 +860,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT unnest({TOKS}) AS token FROM documents WHERE lang = 'es'
             INTERSECT
             SELECT DISTINCT unnest({TOKS}) AS token FROM documents WHERE lang = 'zh'
+        """,
+        "multi_pattern_first": f"""
+            WITH d AS (SELECT doc_id, {NORM} AS norm FROM documents),
+            ph(phrase) AS (VALUES {", ".join(f"('{p}')" for p in SCAN_PHRASES)})
+            SELECT d.doc_id, ph.phrase,
+                   CAST(strpos(d.norm, ph.phrase) - 1 AS BIGINT) AS start
+            FROM d CROSS JOIN ph WHERE strpos(d.norm, ph.phrase) > 0
+        """,
+        "token_rejoin": f"""
+            SELECT doc_id,
+                   array_to_string(list_slice({TOKS}, 1, 5), ' ') AS head5,
+                   array_to_string(list_slice({TOKS}, 3, 6), ' ') AS mid4
+            FROM documents
+        """,
+        "char_class_stats": f"""
+            WITH d AS (SELECT doc_id, {TOKS} AS tk FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_filter(tk, t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS n_all_digit,
+                   CAST(len(list_filter(tk, t -> regexp_matches(t, '^[a-z]+$'))) AS BIGINT) AS n_all_alpha,
+                   CAST(len(list_filter(tk, t -> regexp_matches(t, '[0-9]'))) AS BIGINT) AS n_has_digit
+            FROM d
+        """,
+        "json_export": """
+            SELECT doc_id,
+                   '{"lang":"' || lang || '","n_chars":' || n_chars || '}' AS js
+            FROM documents
         """,
         "agg_lineitem": """
             SELECT l_returnflag, l_linestatus,

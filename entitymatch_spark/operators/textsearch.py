@@ -1,0 +1,123 @@
+"""Multi-pattern text search (Aho-Corasick) as a batched Arrow operator.
+
+The reference builds a keyword trie with failure links and streams all
+keyword occurrences through a text (ref:
+EntityMatch/EntityMatch/StringSearch.cs:278-336 build, 362-442 search;
+FindAll / FindFirst / ContainsAny). Spark-side, the dictionary is
+broadcast and the automaton is built ONCE per executor (lazy cache
+keyed by the broadcast id), then each Arrow batch streams through it —
+one Python hop per batch, output exploded to (doc, phrase, start) rows.
+
+For equi-token matching the posting join (J2) supersedes this; the AC
+operator is for matching dictionary *phrases* against raw (unnormalized
+or normalized) text, e.g. brand/entity lexicons over web pages.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ACAutomaton:
+    """Plain-python Aho-Corasick: goto/fail/output (StringSearch.cs analog)."""
+
+    def __init__(self, phrases: list[str]):
+        self.goto: list[dict[str, int]] = [{}]
+        self.fail: list[int] = [0]
+        self.out: list[list[int]] = [[]]
+        self.phrases = list(phrases)
+        for pid, p in enumerate(self.phrases):
+            node = 0
+            for ch in p:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.fail.append(0)
+                    self.out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            self.out[node].append(pid)
+        q = deque()
+        for ch, nxt in self.goto[0].items():
+            q.append(nxt)
+        while q:
+            node = q.popleft()
+            for ch, nxt in self.goto[node].items():
+                q.append(nxt)
+                f = self.fail[node]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != nxt else 0
+                self.out[nxt] = self.out[nxt] + self.out[self.fail[nxt]]
+
+    def find_all(self, text: str):
+        node = 0
+        for i, ch in enumerate(text):
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            for pid in self.out[node]:
+                yield pid, i - len(self.phrases[pid]) + 1
+
+    def find_first(self, text: str) -> dict[int, int]:
+        firsts: dict[int, int] = {}
+        for pid, start in self.find_all(text):
+            if pid not in firsts:
+                firsts[pid] = start
+            if len(firsts) == len(self.phrases):
+                break
+        return firsts
+
+
+_AC_CACHE: dict[int, ACAutomaton] = {}
+
+
+def multi_pattern_scan(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    first_only: bool = False,
+) -> DataFrame:
+    """(id, phrase, start): occurrences of dictionary phrases in texts.
+
+    first_only=True mirrors the reference FindFirst (one row per
+    (doc, phrase), earliest occurrence); otherwise FindAll semantics.
+    """
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(list(phrases))
+    fo = bool(first_only)
+
+    def batch(texts: pd.Series) -> pd.Series:
+        key = id(bc.value)
+        ac = _AC_CACHE.get(key)
+        if ac is None:
+            ac = ACAutomaton(bc.value)
+            _AC_CACHE[key] = ac
+        out = []
+        for t in texts:
+            if not t:
+                out.append([])
+                continue
+            if fo:
+                hits = [
+                    {"phrase": ac.phrases[pid], "start": s}
+                    for pid, s in sorted(ac.find_first(t).items())
+                ]
+            else:
+                hits = [
+                    {"phrase": ac.phrases[pid], "start": s} for pid, s in ac.find_all(t)
+                ]
+            out.append(hits)
+        return pd.Series(out)
+
+    udf = F.pandas_udf(batch, "array<struct<phrase:string,start:int>>")
+    return (
+        docs.select(F.col(id_col), F.explode(udf(F.col(text_col))).alias("hit"))
+        .select(id_col, F.col("hit.phrase").alias("phrase"), F.col("hit.start").alias("start"))
+    )

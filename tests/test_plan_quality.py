@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just
+plans that produce correct rows.
+
+- filters/column pruning reach the parquet scan (PushedFilters/ReadSchema)
+- dictionary joins go broadcast, big joins don't explode into Python
+- the pair scorer does exactly ONE Arrow hop
+- MinHash is a narrow plan (zero shuffle exchanges)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown(spark):
+    df = entry_mod.queries()["scan_documents"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan and "GreaterThanOrEqual(n_chars,200)" in plan
+    # column pruning: text is never read
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_minhash_is_narrow(spark):
+    from entitymatch_spark.operators.blocking import minhash_signature
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"])], "doc_id long, tokens array<string>"
+    )
+    plan = _plan(minhash_signature(docs))
+    assert "Exchange" not in plan  # per-row transform: zero shuffle
+
+
+def test_scorer_single_arrow_hop(spark):
+    from entitymatch_spark.operators.scoring import score_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", ["aa", "bb"]), (2, "aa bb cc", ["aa", "bb", "cc"])],
+        "doc_id long, norm_text string, tokens array<string>",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plan = _plan(score_pairs(pairs, docs, {"aa": 1.0}))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python
+
+
+def test_idf_broadcast_in_spans(spark):
+    from entitymatch_spark.functions.text import tokenize
+    from entitymatch_spark.operators.posting import (
+        build_posting, token_idf, total_token_weight,
+    )
+    from entitymatch_spark.operators.spans import extend_spans
+
+    ents = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "entity_id long, phrase string"
+    ).select("entity_id", tokenize("phrase").alias("tokens"))
+    posting = build_posting(ents, id_col="entity_id")
+    idf = token_idf(posting, n_docs=2)
+    totals = total_token_weight(posting, idf, "entity_id")
+    q = spark.createDataFrame([(1, 0, "b"), (1, 1, "c")], "query_id long, qpos int, token string")
+    plan = _plan(extend_spans(q, posting, idf, totals))
+    assert plan.count("BroadcastHashJoin") >= 2  # idf + totals broadcast
+
+
+def test_topk_no_global_sort(spark):
+    df = entry_mod.queries()["topk_per_group"](spark, SF)
+    plan = _plan(df)
+    # rank-limited window -> WindowGroupLimit pushdown, no global Sort of
+    # everything into one partition
+    assert "WindowGroupLimit" in plan
+
+
+def test_candidate_join_is_equijoin(spark):
+    from entitymatch_spark.operators.blocking import candidate_pairs
+
+    keys = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(30)], "doc_id long, key string"
+    )
+    plan = _plan(candidate_pairs(keys, max_block=10))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,49 @@
+from __future__ import annotations
+
+import random
+
+from entitymatch_spark.operators.textsearch import ACAutomaton, multi_pattern_scan
+
+
+def _brute_all(text: str, phrases: list[str]):
+    hits = set()
+    for p in phrases:
+        start = 0
+        while True:
+            i = text.find(p, start)
+            if i < 0:
+                break
+            hits.add((p, i))
+            start = i + 1
+    return hits
+
+
+def test_ac_automaton_vs_bruteforce():
+    rng = random.Random(9)
+    phrases = ["ab", "abc", "bca", "ca", "aaa", "she", "he", "hers"]
+    for _ in range(200):
+        text = "".join(rng.choice("abcshers ") for _ in range(rng.randint(0, 60)))
+        ac = ACAutomaton(phrases)
+        got = {(ac.phrases[pid], s) for pid, s in ac.find_all(text)}
+        assert got == _brute_all(text, phrases), text
+
+
+def test_ac_find_first():
+    ac = ACAutomaton(["he", "she", "hers"])
+    firsts = ac.find_first("ushers she")
+    got = {ac.phrases[pid]: s for pid, s in firsts.items()}
+    assert got == {"she": 1, "he": 2, "hers": 2}
+
+
+def test_multi_pattern_scan_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "the table scan beats the hash join"), (2, "no patterns here"), (3, None)],
+        "doc_id long, norm_text string",
+    )
+    out = multi_pattern_scan(docs, ["table scan", "hash join", "the"], first_only=False)
+    rows = {(r["doc_id"], r["phrase"], r["start"]) for r in out.collect()}
+    assert (1, "table scan", 4) in rows and (1, "hash join", 25) in rows
+    assert (1, "the", 0) in rows and (1, "the", 21) in rows
+    assert not any(d in (2, 3) for d, _, _ in rows)
+    first = multi_pattern_scan(docs, ["the"], first_only=True)
+    assert [(r["doc_id"], r["start"]) for r in first.collect()] == [(1, 0)]
