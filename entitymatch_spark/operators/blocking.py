@@ -124,11 +124,43 @@ def prune_oversized_blocks(
     return keys.join(ok, "key")
 
 
+def salt_oversized_blocks(
+    keys: DataFrame, max_block: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Split blocks larger than ``max_block`` into hash-salted sub-blocks.
+
+    A block of n docs becomes ceil(n / max_block) sub-blocks keyed by
+    ``key#salt`` with salt = xxhash64(id) mod s — deterministic, no
+    partition dependence. Pair generation then happens within
+    sub-blocks only: the join key cardinality is bounded (no skewed
+    reducer) at the cost of sampling cross-sub-block pairs away
+    (probability ~1/s of keeping a given pair of a hot key). For
+    near-dup discovery this is the standard recall/cost dial: truly
+    similar pairs share several keys, so they get several chances.
+    """
+    sizes = keys.groupBy("key").agg(F.count("*").alias("__n"))
+    s = F.ceil(F.col("__n") / F.lit(max_block)).cast("long")
+    return (
+        keys.join(F.broadcast(sizes), "key")
+        .withColumn(
+            "key",
+            F.when(F.col("__n") <= max_block, F.col("key")).otherwise(
+                F.concat(
+                    F.col("key"), F.lit("#"),
+                    F.pmod(F.xxhash64(F.col(id_col)), s).cast("string"),
+                )
+            ),
+        )
+        .drop("__n")
+    )
+
+
 def candidate_pairs(
     keys: DataFrame,
     max_block: int = 64,
     id_col: str = "doc_id",
     n_partitions: int | None = None,
+    oversize_policy: str = "purge",
 ) -> DataFrame:
     """(id_a, id_b, n_keys): unordered candidate pairs from blocking keys.
 
@@ -136,8 +168,20 @@ def candidate_pairs(
     keys are deduped and carry how many keys agreed (a free, cheap
     match signal). Explicit repartition on the join key keeps the
     shuffle aligned; AQE splits any residual skew.
+
+    oversize_policy:
+      - "purge": drop blocks over ``max_block`` (an over-shared key has
+        no discriminative power — the blocking analog of the IDF floor).
+      - "salt": keep them, split into hash-salted sub-blocks
+        (bounded cost, sampled recall on hot keys — see
+        salt_oversized_blocks).
     """
-    pruned = prune_oversized_blocks(keys, max_block, id_col)
+    if oversize_policy == "purge":
+        pruned = prune_oversized_blocks(keys, max_block, id_col)
+    elif oversize_policy == "salt":
+        pruned = salt_oversized_blocks(keys, max_block, id_col)
+    else:
+        raise ValueError(f"unknown oversize_policy: {oversize_policy!r}")
     if n_partitions:
         pruned = pruned.repartition(n_partitions, "key")
     a = pruned.select(F.col("key"), F.col(id_col).alias("id_a"))

@@ -1,0 +1,56 @@
+"""Corpus sources/sinks: Iceberg tables on a cluster, parquet locally.
+
+The production input (BASELINE.json input_hint) is an Iceberg table of
+pages (url, warc_ts, html, text, lang). The Iceberg runtime jar is not
+in this container, so table access is gated: a ``catalog.db.table``
+name uses ``spark.table`` (works wherever an Iceberg/Hive catalog is
+configured); a path reads parquet. Writers mirror the same split.
+
+Reference analogs: the CSV phrase scan (TestMatcher/Program.cs:15-35),
+the deduping SQL scan (AutoComplete/Common/DBUtil.cs:14-54).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def is_table_name(source: str) -> bool:
+    return "/" not in source and not source.endswith(".parquet")
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Read the pages corpus from an Iceberg/catalog table or parquet path."""
+    if is_table_name(source):
+        return spark.table(source)
+    return spark.read.parquet(source)
+
+
+def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
+    """Write to an Iceberg/catalog table when named, else parquet."""
+    if is_table_name(target):
+        df.writeTo(target).createOrReplace() if mode == "overwrite" else df.writeTo(
+            target
+        ).append()
+    else:
+        df.write.mode(mode).parquet(target)
+
+
+def read_csv_phrases(
+    spark: SparkSession, path: str, phrase_col: int = 0, entity_type: str = "DVD"
+) -> DataFrame:
+    """DVD.txt-style CSV: header + quoted fields, column 0 = phrase
+    (ref: TestMatcher/Program.cs:15-35 — the regex splitter there is
+    what spark.read.csv's quote/escape handling does natively)."""
+    df = spark.read.csv(path, header=True, quote='"', escape='"')
+    first = df.columns[phrase_col]
+    return (
+        df.select(F.col(first).alias("phrase"))
+        .filter(F.col("phrase").isNotNull())
+        .withColumn("type", F.lit(entity_type))
+        .withColumn("entity_id", F.row_number().over(Window.orderBy("phrase")) - 1)
+        .select("entity_id", "type", "phrase")
+    )

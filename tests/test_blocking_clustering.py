@@ -140,3 +140,33 @@ def test_connected_components_string_ids(spark):
 def test_connected_components_empty(spark):
     e = spark.createDataFrame([], "src long, dst long")
     assert connected_components(e, "src", "dst").count() == 0
+
+
+def test_salted_oversized_blocks(spark):
+    """Zipf-hot key: purge drops it entirely; salt keeps it with bounded
+    sub-blocks and generates only intra-sub-block pairs."""
+    from entitymatch_spark.operators.blocking import salt_oversized_blocks
+
+    rows = [(i, "hot") for i in range(500)] + [(i, f"cold{i % 5}") for i in range(20)]
+    keys = spark.createDataFrame(rows, "doc_id long, key string")
+
+    purged = candidate_pairs(keys, max_block=50, oversize_policy="purge")
+    p_pairs = {(r["id_a"], r["id_b"]) for r in purged.collect()}
+    # hot block gone; only the 5 cold blocks of 4 docs each -> 5 * C(4,2)
+    assert len(p_pairs) == 30
+    assert all(a < 20 and b < 20 for a, b in p_pairs)
+
+    salted_keys = salt_oversized_blocks(keys, max_block=50)
+    sizes = salted_keys.groupBy("key").count().collect()
+    # 500 docs over 10 salts: ~50 each, binomial spread (sd ~6.7)
+    assert max(r["count"] for r in sizes) <= 80
+    assert any(r["key"].startswith("hot#") for r in sizes)
+    assert any(r["key"].startswith("cold") for r in sizes)  # small keys untouched
+
+    salted = candidate_pairs(keys, max_block=50, oversize_policy="salt")
+    s_pairs = salted.count()
+    # bounded: each of 10 sub-blocks of ~50 docs -> ~C(50,2) pairs, plus cold
+    assert 0 < s_pairs < 10 * (60 * 59) // 2 + 100
+    # deterministic across partitionings
+    salted2 = candidate_pairs(keys.repartition(13), max_block=50, oversize_policy="salt")
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in salted2.collect()}

@@ -1,0 +1,71 @@
+"""Calibrated combiner: train on half the clusters, F1 >= 0.99 on the
+held-out half (north_star: calibration on train split only)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatch_spark.operators.calibrate import (
+    FEATURES,
+    calibrate_from_labeled_pairs,
+    fit_logistic,
+)
+from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
+from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+
+def test_fit_logistic_separable():
+    rng = np.random.RandomState(0)
+    X = rng.rand(400, 2)
+    y = (X[:, 0] + X[:, 1] > 1.0).astype(float)
+    m = fit_logistic(X, y, ["a", "b"])
+    z = X @ np.array([m.weights["a"], m.weights["b"]]) + m.bias
+    pred = (1 / (1 + np.exp(-z))) >= 0.5
+    assert (pred == y.astype(bool)).mean() >= 0.97
+    # deterministic
+    m2 = fit_logistic(X, y, ["a", "b"])
+    assert m2.weights == m.weights and m2.bias == m.bias
+
+
+@pytest.fixture(scope="module")
+def corpus_run(spark):
+    fx = generate_corpus(n_clusters=120, seed=77)
+    dfs = corpus_to_spark(spark, fx)
+    res = match_pipeline(dfs["pages"], MatchConfig())
+    scored = res.scored.persist()
+    scored.count()
+    return fx, dfs, scored
+
+
+def test_calibrated_f1_on_holdout(spark, corpus_run):
+    fx, dfs, scored = corpus_run
+    # split labeled pairs by cluster parity of the first url's site id
+    lab = fx.labels.copy()
+    site = lab["url_a"].str.extract(r"site(\d+)\.")[0].astype(int)
+    train_pd, test_pd = lab[site % 2 == 0], lab[site % 2 == 1]
+    schema = "url_a string, url_b string, is_match boolean, block_key string"
+    train = spark.createDataFrame(train_pd, schema=schema)
+
+    model = calibrate_from_labeled_pairs(scored, train)
+    probs = {
+        (r["id_a"], r["id_b"]): r["p_match"]
+        for r in model.apply(scored).select("id_a", "id_b", "p_match").collect()
+    }
+    tp = fp = fn = 0
+    for r in test_pd.itertuples():
+        a, b = sorted((r.url_a, r.url_b))
+        pred = probs.get((a, b), 0.0) >= model.threshold
+        if r.is_match and pred:
+            tp += 1
+        elif r.is_match:
+            fn += 1
+        elif pred:
+            fp += 1
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, (tp, fp, fn, precision, recall)
+    # sensible direction: every feature should push toward match
+    assert all(model.weights[k] > 0 for k in FEATURES), model.weights

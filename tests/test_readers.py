@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+from entitymatch_spark.sources.readers import (
+    is_table_name,
+    read_csv_phrases,
+    read_pages,
+    write_table,
+)
+from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+
+def test_pages_parquet_roundtrip(spark, tmp_path):
+    pages = corpus_to_spark(spark, generate_corpus(n_clusters=5, seed=1))["pages"].drop(
+        "cluster_id"
+    )
+    write_table(pages, str(tmp_path / "pages_pq"))
+    back = read_pages(spark, str(tmp_path / "pages_pq"))
+    assert back.count() == pages.count()
+    assert set(back.columns) == set(pages.columns)
+    a = {tuple(sorted(r.asDict().items())) for r in pages.drop("html").collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in back.drop("html").collect()}
+    assert a == b
+
+
+def test_is_table_name():
+    assert is_table_name("iceberg.web.pages")
+    assert not is_table_name("/root/testdata/sf0.01")
+    assert not is_table_name("data/pages.parquet")
+
+
+def test_read_csv_phrases(spark, tmp_path):
+    # DVD.txt shape: header + quoted fields with embedded commas/quotes
+    p = tmp_path / "dvd.csv"
+    p.write_text(
+        'title,year\n"The Dark Knight",2008\n"Good, The Bad",1966\n"He said ""hi""",2000\n'
+    )
+    ents = read_csv_phrases(spark, str(p))
+    rows = {r["phrase"] for r in ents.collect()}
+    assert rows == {"The Dark Knight", "Good, The Bad", 'He said "hi"'}
+    ids = sorted(r["entity_id"] for r in ents.collect())
+    assert ids == [0, 1, 2]
