@@ -299,6 +299,43 @@ def q_extend_spans(spark, sf):  # J4+A3+F2 (Recognizer.cs:197-300,55-64)
     )
 
 
+def q_topk_spans(spark, sf):  # W1 (Recognizer.cs:24-46): top-k spans per start
+    from pyspark.sql import Window
+
+    spans = q_extend_spans(spark, sf)
+    w = Window.partitionBy("span_start").orderBy(F.desc("score"), F.asc("entity_id"))
+    return (
+        spans.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("entity_id", "span_start", "span_len", "score", "rnk")
+    )
+
+
+def q_candidate_pairs_alt(spark, sf):  # J3 UnionSorted (Recognizer.cs:135-194)
+    """Alternative-expanded posting probe: query doc 0's tokens plus
+    their spelling alternatives probe the fr-docs posting; duplicate
+    (entity, pos) hits keep the MAX alternative weight — the weighted
+    posting merge of the reference."""
+    from entitymatch_spark.operators.alternatives import spelling_alternatives
+
+    docs, posting, idf = _idf(spark, sf)
+    q0 = (
+        posting.join(docs.filter(F.col("doc_id") == 0).select("doc_id"), "doc_id")
+        .select("token")
+        .distinct()
+    )
+    fr_ids = docs.filter((F.col("lang") == "fr") & (F.col("doc_id") != 0)).select("doc_id")
+    fr_posting = posting.join(fr_ids, "doc_id")
+    fr_vocab = fr_posting.select("token").distinct()
+    alts = spelling_alternatives(q0, fr_vocab, max_edit=1)
+    probe = alts.select(F.col("alt_token").alias("token"), "weight")
+    return (
+        probe.join(fr_posting, "token")
+        .groupBy(F.col("doc_id").alias("entity_id"), F.col("pos").cast("long").alias("epos"))
+        .agg(F.round(F.max("weight"), 6).alias("weight"))
+    )
+
+
 def q_tfidf_cosine_pairs(spark, sf):  # F2 generalization, relational form
     _, posting, idf = _idf(spark, sf)
     pairs = _tri_pairs(spark, sf).select("id_a", "id_b")
@@ -501,6 +538,45 @@ def q_set_ops(spark, sf):  # J5 (Obsolete.cs:4-363)
     return es.intersect(zh)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_rollup_events(spark, sf):  # grouping-sets breadth (free from Catalyst)
+    ev = _t(spark, sf, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+def q_sessionize_events(spark, sf):  # gap-based sessionization (lag + cumsum)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet gives TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # micros, matches epoch_us
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+def q_pivot_events(spark, sf):  # pivot as conditional aggregation
+    ev = _t(spark, sf, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
 def q_agg_lineitem(spark, sf):  # relational agg baseline (TPC-H Q1 shape)
     li = _t(spark, sf, "lineitem")
     return (
@@ -608,7 +684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spelling_alternatives": q_spelling_alternatives,
         "synonym_expand": q_synonym_expand,
         "candidate_pairs": q_candidate_pairs,
+        "candidate_pairs_alt": q_candidate_pairs_alt,
         "extend_spans": q_extend_spans,
+        "topk_spans": q_topk_spans,
+        "entity_total_weight": q_doc_total_weight,  # documents play the entity role
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "score_pairs": q_score_pairs,
         "dedup_exact": q_dedup_exact,
@@ -625,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rejoin": q_token_rejoin,
         "char_class_stats": q_char_class_stats,
         "json_export": q_json_export,
+        "rollup_events": q_rollup_events,
+        "sessionize_events": q_sessionize_events,
+        "pivot_events": q_pivot_events,
         "agg_lineitem": q_agg_lineitem,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -639,6 +721,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     syn_values = ", ".join(f"('{a}', '{b}', {w})" for a, b, w in SYNONYMS)
     stops_list = ", ".join(f"'{s}'" for s in EN_STOPS)
+    extend_spans_sql = f"""
+            WITH {POS_CTE}, {IDF_CTE},
+            posq AS (SELECT pos AS qpos, token FROM pos WHERE doc_id = 0),
+            fr AS (SELECT doc_id FROM documents WHERE lang = 'fr' AND doc_id != 0),
+            pose AS (SELECT p.doc_id AS entity_id, p.pos AS epos, p.token
+                     FROM pos p JOIN fr ON p.doc_id = fr.doc_id),
+            tot AS (SELECT p.doc_id AS entity_id, sum(i.idf) AS total
+                    FROM pos p JOIN fr ON p.doc_id = fr.doc_id
+                    JOIN idf i USING (token) GROUP BY 1),
+            cand AS (SELECT e.entity_id, q.qpos, e.epos, i.idf AS w
+                     FROM posq q JOIN pose e USING (token) JOIN idf i USING (token)),
+            dd AS (SELECT entity_id, qpos - epos AS diag, qpos, max(w) AS w
+                   FROM cand GROUP BY 1, 2, 3),
+            isl AS (SELECT *, qpos - row_number() OVER (PARTITION BY entity_id, diag
+                                                        ORDER BY qpos) AS island FROM dd),
+            sp AS (SELECT entity_id, min(qpos) AS span_start, count(*) AS span_len,
+                          sum(w) AS sw
+                   FROM isl GROUP BY entity_id, diag, island)
+            SELECT s.entity_id, s.span_start, s.span_len,
+                   round(s.sw / t.total, 6) AS score
+            FROM sp s JOIN tot t USING (entity_id) WHERE s.span_len >= 2
+    """
+    total_weight_sql = f"""
+            WITH {POS_CTE}, {IDF_CTE}
+            SELECT p.doc_id, round(sum(i.idf), 6) AS total_weight
+            FROM pos p JOIN idf i USING (token) GROUP BY p.doc_id
+    """
     return {
         "scan_documents": """
             SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars >= 200
@@ -655,11 +764,8 @@ def oracle_sql() -> dict[str, str]:
             WITH {POS_CTE}, {IDF_CTE}
             SELECT token, df, round(idf, 6) AS idf FROM idf
         """,
-        "doc_total_weight": f"""
-            WITH {POS_CTE}, {IDF_CTE}
-            SELECT p.doc_id, round(sum(i.idf), 6) AS total_weight
-            FROM pos p JOIN idf i USING (token) GROUP BY p.doc_id
-        """,
+        "doc_total_weight": total_weight_sql,
+        "entity_total_weight": total_weight_sql,
         "word_freq": f"""
             WITH {POS_CTE}
             SELECT token, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
@@ -714,27 +820,33 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t JOIN syn s USING (token)
         """,
         "candidate_pairs": f"WITH {TRI_CTE} SELECT id_a, id_b, n_keys FROM cand",
-        "extend_spans": f"""
-            WITH {POS_CTE}, {IDF_CTE},
-            posq AS (SELECT pos AS qpos, token FROM pos WHERE doc_id = 0),
+        "extend_spans": extend_spans_sql,
+        "topk_spans": f"""
+            SELECT entity_id, span_start, span_len, score, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY span_start
+                                           ORDER BY score DESC, entity_id ASC) AS rnk
+              FROM ({extend_spans_sql})
+            ) WHERE rnk <= 2
+        """,
+        "candidate_pairs_alt": f"""
+            WITH {POS_CTE},
+            q0 AS (SELECT DISTINCT token FROM pos WHERE doc_id = 0),
             fr AS (SELECT doc_id FROM documents WHERE lang = 'fr' AND doc_id != 0),
-            pose AS (SELECT p.doc_id AS entity_id, p.pos AS epos, p.token
-                     FROM pos p JOIN fr ON p.doc_id = fr.doc_id),
-            tot AS (SELECT p.doc_id AS entity_id, sum(i.idf) AS total
-                    FROM pos p JOIN fr ON p.doc_id = fr.doc_id
-                    JOIN idf i USING (token) GROUP BY 1),
-            cand AS (SELECT e.entity_id, q.qpos, e.epos, i.idf AS w
-                     FROM posq q JOIN pose e USING (token) JOIN idf i USING (token)),
-            dd AS (SELECT entity_id, qpos - epos AS diag, qpos, max(w) AS w
-                   FROM cand GROUP BY 1, 2, 3),
-            isl AS (SELECT *, qpos - row_number() OVER (PARTITION BY entity_id, diag
-                                                        ORDER BY qpos) AS island FROM dd),
-            sp AS (SELECT entity_id, min(qpos) AS span_start, count(*) AS span_len,
-                          sum(w) AS sw
-                   FROM isl GROUP BY entity_id, diag, island)
-            SELECT s.entity_id, s.span_start, s.span_len,
-                   round(s.sw / t.total, 6) AS score
-            FROM sp s JOIN tot t USING (entity_id) WHERE s.span_len >= 2
+            fp AS (SELECT p.doc_id, p.pos, p.token FROM pos p JOIN fr USING (doc_id)),
+            voc AS (SELECT DISTINCT token FROM fp),
+            exact AS (SELECT q.token, q.token AS alt_token, 1.0 AS weight
+                      FROM q0 q WHERE q.token IN (SELECT token FROM voc)),
+            fuzzy AS (SELECT q.token, v.token AS alt_token,
+                             1.0 / (1.0 + levenshtein(q.token, v.token)) AS weight
+                      FROM q0 q JOIN voc v
+                        ON abs(length(q.token) - length(v.token)) <= 1
+                       AND levenshtein(q.token, v.token) <= 1
+                      WHERE q.token NOT IN (SELECT token FROM voc)),
+            alts AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy)
+            SELECT f.doc_id AS entity_id, f.pos AS epos,
+                   round(max(a.weight), 6) AS weight
+            FROM alts a JOIN fp f ON f.token = a.alt_token
+            GROUP BY 1, 2
         """,
         "tfidf_cosine_pairs": f"""
             WITH {POS_CTE}, {IDF_CTE}, {TRI_CTE},
@@ -886,6 +998,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    '{"lang":"' || lang || '","n_chars":' || n_chars || '}' AS js
             FROM documents
+        """,
+        "rollup_events": """
+            SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+            FROM events GROUP BY ROLLUP (event_type)
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events),
+            s AS (
+              SELECT user_id, event_id, value,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   round(sum(value), 4) AS total
+            FROM s GROUP BY 1, 2
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+            FROM events GROUP BY 1
         """,
         "agg_lineitem": """
             SELECT l_returnflag, l_linestatus,
