@@ -78,11 +78,21 @@ def score_pairs(
     threshold: float | None = None,
     lev_prefix: int = LEV_PREFIX,
     jw_prefix: int = JW_PREFIX,
+    cascade_min_jaccard: float | None = None,
 ) -> DataFrame:
     """Score (id_a, id_b) candidate pairs against docs(id, text, tokens).
 
     Returns pairs + feature columns + blended ``score`` (+ filter when
     ``threshold`` given). All joins are equi-joins on the doc id.
+
+    ``cascade_min_jaccard``: verification cascade for scale — the cheap
+    JVM-side features (jaccard, lev_sim) are computed for every pair,
+    but the Arrow UDF (JW / cosine / containment) runs only on pairs
+    with jaccard >= the gate; gated-out pairs get 0.0 for the expensive
+    features. At web scale most candidates are junk that the cheap
+    features already reject, so the Python hop shrinks to the
+    plausible tail. Pairs at or above the gate score identically to
+    the non-cascaded path.
     """
     weights = weights or DEFAULT_WEIGHTS
     spark = SparkSession.getActiveSession()
@@ -111,15 +121,29 @@ def score_pairs(
     jaccard = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
     udf = _pair_udf(idf_bcast, jw_prefix)
-    feats = (
-        hydrated.withColumn("lev_sim", lev_sim)
-        .withColumn("jaccard", jaccard)
-        .withColumn("_s", udf("text_a", "text_b", "toks_a", "toks_b"))
+    cheap = hydrated.withColumn("lev_sim", lev_sim).withColumn("jaccard", jaccard)
+    if cascade_min_jaccard is None:
+        survivors, rejected = cheap, None
+    else:
+        # NOTE: a `when(gate, udf(...))` would NOT gate the work — Catalyst
+        # extracts Python UDFs into their own projection and evaluates them
+        # for every row. A filter + union genuinely bounds the Arrow stage.
+        gate = F.col("jaccard") >= cascade_min_jaccard
+        survivors, rejected = cheap.filter(gate), cheap.filter(~gate)
+    scored_full = (
+        survivors.withColumn("_s", udf("text_a", "text_b", "toks_a", "toks_b"))
         .withColumn("jw", F.col("_s.jw"))
         .withColumn("cosine", F.col("_s.cosine"))
         .withColumn("containment", F.col("_s.containment"))
-        .drop("_s", "text_a", "text_b", "toks_a", "toks_b")
+        .drop("_s")
     )
+    if rejected is not None:
+        scored_full = scored_full.unionByName(
+            rejected.withColumn("jw", F.lit(0.0))
+            .withColumn("cosine", F.lit(0.0))
+            .withColumn("containment", F.lit(0.0))
+        )
+    feats = scored_full.drop("text_a", "text_b", "toks_a", "toks_b")
     score = sum(F.col(k) * F.lit(w) for k, w in weights.items())
     out = feats.withColumn("score", score)
     if threshold is not None:

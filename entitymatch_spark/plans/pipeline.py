@@ -52,7 +52,15 @@ class MatchConfig:
     weights: dict = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
     threshold: float = DEFAULT_THRESHOLD
     lev_prefix: int = 128
+    # verification cascade: pairs below this jaccard skip the Arrow UDF.
+    # Safe at the default threshold (with jw/cosine/containment zeroed the
+    # blend caps at 0.30 < 0.60), but OFF by default: the filter+union
+    # re-hydrates both branches, so it only pays when a large fraction of
+    # candidates are junk (e.g. web-scale LSH bands over boilerplate) —
+    # measured 0% gated / 2.5x overhead on the labeled fixture.
+    cascade_min_jaccard: float | None = None
     seed: int = 42
+    cache: bool = True  # persist docs + pairs (reused by several stages)
     id_col: str = "url"
     text_col: str = "text"
 
@@ -80,6 +88,8 @@ def prepare_docs(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
 def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchResult:
     cfg = cfg or MatchConfig()
     docs = prepare_docs(pages, cfg)
+    if cfg.cache:
+        docs = docs.persist()
     n_docs = docs.count()
 
     posting = build_posting(docs, id_col="doc_id")
@@ -96,10 +106,13 @@ def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchRes
         )
 
     pairs = candidate_pairs(keys, max_block=cfg.max_block)
+    if cfg.cache:
+        pairs = pairs.persist()
     idf_map = collect_idf_map(idf)
     scored = score_pairs(
         pairs, docs, idf_map,
         weights=cfg.weights, lev_prefix=cfg.lev_prefix,
+        cascade_min_jaccard=cfg.cascade_min_jaccard,
     )
     matches = scored.filter(F.col("score") >= cfg.threshold)
     components = connected_components(
