@@ -648,6 +648,24 @@ def q_match_clusters(spark, sf):
     )
 
 
+def q_match_clusters_token(spark, sf):
+    """Full pipeline, token blocking only (no LSH) — every stage of the
+    blocking -> scoring -> transitive-clustering flow is DuckDB-
+    reproducible, so this one is VALUE-checked end-to-end (the LSH
+    variant above is rows-only: xxhash64-seeded MinHash has no DuckDB
+    equivalent)."""
+    from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
+
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    cfg = MatchConfig(use_lsh=False, cache=False, id_col="url", text_col="text")
+    res = match_pipeline(pages, cfg)
+    return res.clusters.select(
+        F.col("doc_id").alias("url_id"), F.col("cluster_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: end-to-end record linkage on sf0.001 documents."""
     from entitymatch_spark.session import ensure_workers_can_import
@@ -714,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
         "match_clusters": q_match_clusters,
+        "match_clusters_token": q_match_clusters_token,
     }
     return {k: wrap(v) for k, v in qs.items()}
 
@@ -1027,6 +1046,57 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
                    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
             FROM events GROUP BY 1
+        """,
+        # Full pipeline with token-only blocking: every stage (IDF floor
+        # keys -> block purge -> pairs -> 5-feature blended score ->
+        # threshold -> transitive closure) in one DuckDB query; the
+        # connected components come from a recursive reachability CTE.
+        "match_clusters_token": f"""
+            WITH RECURSIVE {POS_CTE.strip().rstrip()}, {IDF_CTE.strip()},
+            keys AS (SELECT DISTINCT p.doc_id, p.token
+                     FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0),
+            okk AS (SELECT token FROM keys GROUP BY token HAVING count(*) <= 64),
+            kept AS (SELECT k.doc_id, k.token FROM keys k JOIN okk USING (token)),
+            cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM kept a JOIN kept b USING (token)
+                     WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            d AS (SELECT doc_id, {NORM} AS norm, {TOKS} AS tk FROM documents),
+            w AS (SELECT p.doc_id, p.token, count(*) AS cnt,
+                         count(*) * any_value(i.idf) AS w, any_value(i.idf) AS idf
+                  FROM pos p JOIN idf i USING (token) GROUP BY p.doc_id, p.token),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm, sum(w) AS total
+                    FROM w GROUP BY 1),
+            shr AS (SELECT c.id_a, c.id_b, sum(x.w * y.w) AS dot,
+                           sum(least(x.cnt, y.cnt) * x.idf) AS sh
+                    FROM cand c JOIN w x ON x.doc_id = c.id_a
+                    JOIN w y ON y.doc_id = c.id_b AND y.token = x.token
+                    GROUP BY 1, 2),
+            feat AS (SELECT c.id_a, c.id_b,
+                coalesce(s.dot, 0.0) / (na.nrm * nb.nrm) AS cosine,
+                coalesce(s.sh, 0.0) / least(na.total, nb.total) AS containment,
+                CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) = 0 THEN 0.0
+                     ELSE len(list_intersect(list_distinct(a.tk), list_distinct(b.tk)))
+                          / len(list_distinct(list_concat(a.tk, b.tk))) END AS jaccard,
+                CASE WHEN greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) = 0 THEN 1.0
+                     ELSE 1.0 - levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128))
+                          / greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) END AS lev_sim,
+                jaro_winkler_similarity(substr(a.norm, 1, 256), substr(b.norm, 1, 256)) AS jw
+              FROM cand c JOIN d a ON a.doc_id = c.id_a JOIN d b ON b.doc_id = c.id_b
+              LEFT JOIN shr s ON s.id_a = c.id_a AND s.id_b = c.id_b
+              JOIN nrm na ON na.doc_id = c.id_a JOIN nrm nb ON nb.doc_id = c.id_b),
+            m AS (SELECT id_a, id_b FROM feat
+                  WHERE 0.35 * cosine + 0.20 * jw + 0.15 * lev_sim
+                        + 0.15 * jaccard + 0.15 * containment >= 0.60),
+            bidir AS (SELECT id_a AS u, id_b AS v FROM m
+                      UNION SELECT id_b, id_a FROM m),
+            reach(u, v) AS (SELECT u, v FROM bidir
+                            UNION
+                            SELECT r.u, e.v FROM reach r JOIN bidir e ON r.v = e.u),
+            comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                     FROM reach GROUP BY u)
+            SELECT doc.doc_id AS url_id,
+                   coalesce(c.cluster_id, doc.doc_id) AS cluster_id
+            FROM documents doc LEFT JOIN comp c USING (doc_id)
         """,
         "agg_lineitem": """
             SELECT l_returnflag, l_linestatus,

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 from entitymatch_spark.functions.similarity import (
     jaro_winkler,
-    tfidf_cosine_and_containment,
+    tfidf_pair_from_profiles,
+    tfidf_profile,
 )
 
 DEFAULT_WEIGHTS = {
@@ -49,17 +50,31 @@ JW_PREFIX = 256   # chars compared by Jaro-Winkler (O(n^2) window scan)
 
 def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX):
     def batch(
-        text_a: pd.Series, text_b: pd.Series, toks_a: pd.Series, toks_b: pd.Series
+        id_a: pd.Series,
+        id_b: pd.Series,
+        text_a: pd.Series,
+        text_b: pd.Series,
+        toks_a: pd.Series,
+        toks_b: pd.Series,
     ) -> pd.DataFrame:
         idf = idf_bcast.value
+        # Each doc appears in many candidate pairs; profile (token counts,
+        # tf*idf weights, norms) once per doc id per Arrow batch.
+        profiles: dict = {}
+
+        def prof(doc_id, toks):
+            p = profiles.get(doc_id)
+            if p is None:
+                p = tfidf_profile(list(toks) if toks is not None else [], idf)
+                profiles[doc_id] = p
+            return p
+
         jws, cosines, conts = [], [], []
-        for ta, tb, ka, kb in zip(text_a, text_b, toks_a, toks_b):
+        for ia, ib, ta, tb, ka, kb in zip(
+            id_a, id_b, text_a, text_b, toks_a, toks_b
+        ):
             jws.append(jaro_winkler((ta or "")[:jw_prefix], (tb or "")[:jw_prefix]))
-            cos, cont = tfidf_cosine_and_containment(
-                list(ka) if ka is not None else [],
-                list(kb) if kb is not None else [],
-                idf,
-            )
+            cos, cont = tfidf_pair_from_profiles(prof(ia, ka), prof(ib, kb), idf)
             cosines.append(cos)
             conts.append(cont)
         return pd.DataFrame({"jw": jws, "cosine": cosines, "containment": conts})
@@ -131,7 +146,9 @@ def score_pairs(
         gate = F.col("jaccard") >= cascade_min_jaccard
         survivors, rejected = cheap.filter(gate), cheap.filter(~gate)
     scored_full = (
-        survivors.withColumn("_s", udf("text_a", "text_b", "toks_a", "toks_b"))
+        survivors.withColumn(
+            "_s", udf("id_a", "id_b", "text_a", "text_b", "toks_a", "toks_b")
+        )
         .withColumn("jw", F.col("_s.jw"))
         .withColumn("cosine", F.col("_s.cosine"))
         .withColumn("containment", F.col("_s.containment"))

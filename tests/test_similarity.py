@@ -9,9 +9,13 @@ import duckdb
 import pytest
 
 from entitymatch_spark.functions.similarity import (
+    _jaro_naive,
+    jaro,
     jaro_winkler,
     levenshtein_bounded,
     tfidf_cosine_and_containment,
+    tfidf_pair_from_profiles,
+    tfidf_profile,
 )
 
 
@@ -28,6 +32,36 @@ def test_jaro_winkler_matches_duckdb():
         want = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
         got = jaro_winkler(a, b)
         assert got == pytest.approx(want, abs=1e-12), (a, b, got, want)
+
+
+def test_fast_jaro_equals_naive_on_long_strings():
+    """The O(la+lb) per-char two-pointer jaro() must be exactly the
+    textbook greedy (_jaro_naive) — incl. window edge cases and long
+    inputs beyond the DuckDB fuzz range above."""
+    rng = random.Random(3)
+    for _ in range(3000):
+        a = _rand_word(rng, rng.randint(0, 40))
+        b = _rand_word(rng, rng.randint(0, 40))
+        assert jaro(a, b) == pytest.approx(_jaro_naive(a, b), abs=1e-15), (a, b)
+    for _ in range(200):
+        a = " ".join(_rand_word(rng, rng.randint(1, 8)) for _ in range(rng.randint(0, 60)))
+        b = " ".join(_rand_word(rng, rng.randint(1, 8)) for _ in range(rng.randint(0, 60)))
+        assert jaro(a, b) == pytest.approx(_jaro_naive(a, b), abs=1e-15)
+
+
+def test_tfidf_profiles_equal_direct():
+    """Memoized profile path == direct path for every pair."""
+    rng = random.Random(4)
+    vocab = [_rand_word(rng, rng.randint(1, 6)) for _ in range(50)]
+    idf = {w: rng.random() * 5 for w in vocab[:40]}  # some tokens miss -> default idf
+    docs = [[rng.choice(vocab) for _ in range(rng.randint(0, 30))] for _ in range(40)]
+    profs = [tfidf_profile(d, idf) for d in docs]
+    for _ in range(500):
+        i, j = rng.randrange(40), rng.randrange(40)
+        want = tfidf_cosine_and_containment(docs[i], docs[j], idf)
+        got = tfidf_pair_from_profiles(profs[i], profs[j], idf)
+        assert got[0] == pytest.approx(want[0], abs=1e-12)
+        assert got[1] == pytest.approx(want[1], abs=1e-12)
 
 
 def test_levenshtein_matches_duckdb():
