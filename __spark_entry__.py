@@ -600,7 +600,9 @@ def q_dedup_minhash_lsh(spark, sf):
 
     d = _docs(spark, sf)
     sigs = minhash_signature(d, id_col="doc_id", tokens_col="tokens")
-    keys = lsh_band_keys(sigs, bands=16, rows_per_band=4)
+    # persist: candidate_pairs references the key table three times and
+    # the 64-expression MinHash is the expensive upstream
+    keys = lsh_band_keys(sigs, bands=16, rows_per_band=4).persist()
     return candidate_pairs(keys, max_block=32).select("id_a", "id_b", "n_keys")
 
 
@@ -890,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE len(list_intersect(a.ts, b.ts))
                           / len(list_distinct(list_concat(a.ts, b.ts))) END AS jaccard,
                 CASE WHEN greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) = 0 THEN 1.0
+                     WHEN levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128)) > 32 THEN 0.0
                      ELSE 1.0 - levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128))
                           / greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) END AS lev_sim,
                 jaro_winkler_similarity(substr(a.norm, 1, 256), substr(b.norm, 1, 256)) AS jw
@@ -1078,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE len(list_intersect(list_distinct(a.tk), list_distinct(b.tk)))
                           / len(list_distinct(list_concat(a.tk, b.tk))) END AS jaccard,
                 CASE WHEN greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) = 0 THEN 1.0
+                     WHEN levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128)) > 32 THEN 0.0
                      ELSE 1.0 - levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128))
                           / greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) END AS lev_sim,
                 jaro_winkler_similarity(substr(a.norm, 1, 256), substr(b.norm, 1, 256)) AS jw

@@ -5,13 +5,20 @@
 
 Three subprocess legs (one JVM per master):
 
-1+2. Scaling evidence (BASELINE.json north_rule: N vs 4N): the scoring
+1. Scaling evidence (BASELINE.json north_rule: N vs 4N): the scoring
    stage of the record-linkage pipeline on an identical deterministic
-   corpus at local[2] and local[8]. These are PHYSICAL-core legs: the
-   sandbox's 32 "CPUs" are SMT logical cores (~16 physical, shared),
-   so 8->32 logical cannot express a 4x capacity ratio; 2->8 can.
-   Reported: pairs-scored/sec at both + scaling efficiency
-   (tput_4N / tput_N) / 4.
+   corpus at task-parallelism N=2 vs 4N=8. These are PHYSICAL-core
+   legs: the sandbox's 32 "CPUs" are SMT logical cores (~16 physical,
+   shared with neighbors), so 8->32 logical cannot express a 4x
+   capacity ratio; 2->8 can. Both legs run inside ONE local[8]
+   session with parallelism bounded by the partition count of the
+   cached pair table (2 vs 8 partitions -> 2 vs 8 concurrent tasks,
+   each one JVM thread + one python worker). Rationale: the box is
+   SHARED, so separate per-leg JVMs minutes apart fold time-varying
+   neighbor load into the ratio (observed swing 2.2x-3.1x on
+   identical code); interleaved same-session legs seconds apart with
+   best-of-R per leg measure the capacity ratio, not the weather.
+   Reported: pairs-scored/sec at both + efficiency (tput_4N/tput_N)/4.
 3. Full run at local[$SPARK_GRAFT_CPUS] (default 32): end-to-end
    pipeline on the sf-sized corpus + headline operator queries from
    __spark_entry__ on $SPARK_GRAFT_SF_DIR testdata.
@@ -35,7 +42,7 @@ FULL_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SCALE_4N = 4 * SCALE_N
 SCALE_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SCALE_CLUSTERS", "1000"))
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 
 BENCH_QUERIES = [
     "build_posting",
@@ -73,6 +80,68 @@ def _warmup(spark, cpus):
     )
 
 
+def _scale_legs(spark, n_clusters: int) -> dict:
+    """Interleaved N vs 4N scoring-throughput legs in one session.
+
+    Parallelism is bounded by the partition count of the cached pair
+    table: a stage over p partitions runs p concurrent tasks (p JVM
+    threads + p python workers). Legs alternate (N, 4N) x R rounds,
+    best-of-R per leg, so both levels sample the same few minutes of
+    this shared box.
+    """
+    from entitymatch_spark.operators.blocking import (
+        candidate_pairs, lsh_band_keys, minhash_signature, token_blocking_keys,
+    )
+    from entitymatch_spark.operators.posting import (
+        build_posting, collect_idf_map, token_idf,
+    )
+    from entitymatch_spark.operators.scoring import score_pairs
+    from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
+    from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+    cfg = MatchConfig()
+    fx = generate_corpus(n_clusters=n_clusters, seed=42)
+    pages = corpus_to_spark(spark, fx)["pages"]
+    docs = prepare_docs(pages, cfg).persist()
+    n_docs = docs.count()
+    posting = build_posting(docs, id_col="doc_id")
+    idf = token_idf(posting, n_docs=n_docs)
+    keys = token_blocking_keys(posting, idf, min_idf=cfg.min_idf).unionByName(
+        lsh_band_keys(
+            minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
+            bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+        )
+    ).persist()
+    pairs = candidate_pairs(keys, max_block=cfg.max_block)
+    idf_map = collect_idf_map(idf)
+
+    legs = {}
+    for p in (SCALE_N, SCALE_4N):
+        legs[p] = pairs.repartition(p).persist()
+        legs[p].count()
+    n_pairs = legs[SCALE_N].count()
+    best = {SCALE_N: float("inf"), SCALE_4N: float("inf")}
+    for _ in range(max(1, SCALE_REPEATS)):
+        for p in (SCALE_N, SCALE_4N):
+            t0 = time.perf_counter()
+            score_pairs(legs[p], docs, idf_map, weights=cfg.weights).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best[p] = min(best[p], time.perf_counter() - t0)
+    for df in (docs, keys, *legs.values()):
+        df.unpersist()
+    return {
+        "n_docs": n_docs,
+        "n_pairs": n_pairs,
+        f"score_sec_p{SCALE_N}": round(best[SCALE_N], 3),
+        f"score_sec_p{SCALE_4N}": round(best[SCALE_4N], 3),
+        f"pairs_per_sec_p{SCALE_N}": round(n_pairs / best[SCALE_N], 1),
+        f"pairs_per_sec_p{SCALE_4N}": round(n_pairs / best[SCALE_4N], 1),
+        "speedup": round(best[SCALE_N] / best[SCALE_4N], 3),
+        "efficiency": round(best[SCALE_N] / best[SCALE_4N] / 4.0, 3),
+    }
+
+
 def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
     """Staged pipeline run with per-stage timings; returns metrics."""
     from pyspark.sql import functions as F
@@ -104,7 +173,7 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
             minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
             bands=cfg.bands, rows_per_band=cfg.rows_per_band,
         )
-    )
+    ).persist()  # referenced 3x by candidate_pairs (size agg + join sides)
     pairs = (
         candidate_pairs(keys, max_block=cfg.max_block)
         .repartition(cpus * 4)
@@ -116,20 +185,19 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
     idf_map = collect_idf_map(idf)
     # best-of-N on the scoring stage (the throughput-scaling surface):
     # repeats squeeze out worker-pool cold start + scheduler noise.
-    # Timing passes sink to noop; the last pass persists for clustering.
+    # Timing passes sink to noop; a final untimed pass persists for
+    # clustering.
     times = []
-    for i in range(max(1, SCALE_REPEATS)):
+    for _ in range(max(1, SCALE_REPEATS)):
         t1 = time.perf_counter()
-        if i < max(1, SCALE_REPEATS) - 1:
-            score_pairs(pairs, docs, idf_map, weights=cfg.weights).write.format(
-                "noop"
-            ).mode("overwrite").save()
-        else:
-            scored = score_pairs(pairs, docs, idf_map, weights=cfg.weights).persist()
-            scored.count()
+        score_pairs(pairs, docs, idf_map, weights=cfg.weights).write.format(
+            "noop"
+        ).mode("overwrite").save()
         times.append(time.perf_counter() - t1)
     t_score = min(times)
     n_scored = n_pairs
+    scored = score_pairs(pairs, docs, idf_map, weights=cfg.weights).persist()
+    scored.count()
 
     t2 = time.perf_counter()
     matches = scored.filter(F.col("score") >= cfg.threshold)
@@ -137,7 +205,7 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
     n_clustered = assign_clusters(docs.select("doc_id"), comps).count()
     t_cluster = time.perf_counter() - t2
 
-    for df in (docs, pairs, scored):
+    for df in (docs, keys, pairs, scored):
         df.unpersist()
     return {
         "n_docs": n_docs,
@@ -159,7 +227,7 @@ def child_main(cpus: int, mode: str, out_path: str) -> None:
     result: dict = {"cpus": cpus}
 
     if mode == "scale":
-        result.update(_pipeline_stages(spark, cpus, SCALE_CLUSTERS))
+        result.update(_scale_legs(spark, SCALE_CLUSTERS))
     else:  # full
         sf = _sf_from_dir(SF_DIR)
         result.update(
@@ -185,7 +253,7 @@ def main() -> None:
         child_main(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         return
 
-    legs = [(SCALE_N, "scale"), (SCALE_4N, "scale"), (FULL_CPUS, "full")]
+    legs = [(SCALE_4N, "scale"), (FULL_CPUS, "full")]
     results = {}
     for cpus, mode in legs:
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
@@ -197,13 +265,11 @@ def main() -> None:
             check=True, env=env,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
-        results[(cpus, mode)] = json.loads(Path(out).read_text())
+        results[mode] = json.loads(Path(out).read_text())
         os.unlink(out)
 
-    small = results[(SCALE_N, "scale")]
-    large = results[(SCALE_4N, "scale")]
-    full = results[(FULL_CPUS, "full")]
-    ratio = large["pairs_scored_per_sec"] / small["pairs_scored_per_sec"]
+    scale = results["scale"]
+    full = results["full"]
     out = {
         "metric": f"e2e_match_pipeline_local[{FULL_CPUS}]",
         "value": full["e2e_sec"],
@@ -214,18 +280,23 @@ def main() -> None:
         "n_pairs": full["n_pairs"],
         "pairs_scored_per_sec": full["pairs_scored_per_sec"],
         "scaling": {
+            "method": (
+                f"one local[{SCALE_4N}] session; task parallelism bounded by "
+                f"partition count ({SCALE_N} vs {SCALE_4N}); interleaved "
+                f"best-of-{SCALE_REPEATS}"
+            ),
             "n_cpus": SCALE_N,
             "4n_cpus": SCALE_4N,
-            "scale_corpus_docs": small["n_docs"],
-            "scale_corpus_pairs": small["n_pairs"],
-            f"pairs_per_sec_local[{SCALE_N}]": small["pairs_scored_per_sec"],
-            f"pairs_per_sec_local[{SCALE_4N}]": large["pairs_scored_per_sec"],
-            f"score_sec_local[{SCALE_N}]": small["score_sec"],
-            f"score_sec_local[{SCALE_4N}]": large["score_sec"],
-            "speedup": round(ratio, 3),
-            "efficiency": round(ratio / 4.0, 3),
+            "scale_corpus_docs": scale["n_docs"],
+            "scale_corpus_pairs": scale["n_pairs"],
+            f"pairs_per_sec_p{SCALE_N}": scale[f"pairs_per_sec_p{SCALE_N}"],
+            f"pairs_per_sec_p{SCALE_4N}": scale[f"pairs_per_sec_p{SCALE_4N}"],
+            f"score_sec_p{SCALE_N}": scale[f"score_sec_p{SCALE_N}"],
+            f"score_sec_p{SCALE_4N}": scale[f"score_sec_p{SCALE_4N}"],
+            "speedup": scale["speedup"],
+            "efficiency": scale["efficiency"],
         },
-        "scaling_efficiency": round(ratio / 4.0, 3),
+        "scaling_efficiency": scale["efficiency"],
     }
     print(json.dumps(out))
 

@@ -81,3 +81,46 @@ def total_token_weight(
 def collect_idf_map(idf: DataFrame) -> dict[str, float]:
     """Vocabulary IDF as a plain dict for sc.broadcast into pandas UDFs."""
     return {r["token"]: r["idf"] for r in idf.select("token", "idf").collect()}
+
+
+def collect_idf_map_bounded(
+    idf: DataFrame, max_entries: int
+) -> tuple[dict[str, float], float]:
+    """(idf_map, default_idf) with the map capped at ``max_entries``.
+
+    At 10^12-doc web scale the raw vocabulary does not fit in a driver
+    dict / executor broadcast, so the map keeps only the ``max_entries``
+    most FREQUENT tokens — the ones whose weights span the whole IDF
+    range and so carry all the discriminative signal. Every dropped
+    token is rarer than the boundary, which pins its true IDF into the
+    narrow band [boundary idf, ceiling]; the returned ``default_idf``
+    (df-weighted mean IDF of the dropped tail, i.e. mean over token
+    *occurrences* — what the cosine actually sums over) approximates
+    that band with bounded relative error. Callers pass ``default_idf``
+    through to the scorer instead of the 1e-5 floor (which would
+    near-zero rare tokens — exactly backwards: unseen tokens are rare,
+    hence heavy).
+    """
+    top = (
+        idf.orderBy(F.col("df").desc(), "token")
+        .limit(max_entries)
+        .select("token", "idf")
+        .collect()
+    )
+    mp = {r["token"]: r["idf"] for r in top}
+    if len(mp) < max_entries:  # nothing dropped
+        return mp, IDF_FLOOR
+    tail = idf.join(
+        F.broadcast(
+            idf.sparkSession.createDataFrame(
+                [(t,) for t in mp.keys()], "token string"
+            )
+        ),
+        "token",
+        "left_anti",
+    )
+    row = tail.agg(
+        (F.sum(F.col("idf") * F.col("df")) / F.sum("df")).alias("d")
+    ).collect()[0]
+    default = row["d"] if row["d"] is not None else IDF_FLOOR
+    return mp, float(default)

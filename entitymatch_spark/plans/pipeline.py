@@ -32,6 +32,7 @@ from entitymatch_spark.operators.clustering import assign_clusters, connected_co
 from entitymatch_spark.operators.posting import (
     build_posting,
     collect_idf_map,
+    collect_idf_map_bounded,
     token_idf,
 )
 from entitymatch_spark.operators.scoring import (
@@ -59,6 +60,12 @@ class MatchConfig:
     # candidates are junk (e.g. web-scale LSH bands over boilerplate) —
     # measured 0% gated / 2.5x overhead on the labeled fixture.
     cascade_min_jaccard: float | None = None
+    # Cap on the broadcast IDF dictionary (None = full vocabulary). At
+    # 10^12-doc scale the raw web vocabulary does not fit in a broadcast;
+    # keep the top-K most frequent tokens and score dropped (rare) tokens
+    # at the tail's occurrence-weighted mean IDF — see
+    # posting.collect_idf_map_bounded.
+    idf_max_entries: int | None = None
     seed: int = 42
     cache: bool = True  # persist docs + pairs (reused by several stages)
     id_col: str = "url"
@@ -105,14 +112,23 @@ def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchRes
             lsh_band_keys(sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band)
         )
 
+    if cfg.cache:
+        # candidate_pairs references the key table three times (block-size
+        # agg + both self-join sides); without a persist Catalyst
+        # recomputes the MinHash expressions for each reference.
+        keys = keys.persist()
     pairs = candidate_pairs(keys, max_block=cfg.max_block)
     if cfg.cache:
         pairs = pairs.persist()
-    idf_map = collect_idf_map(idf)
+    if cfg.idf_max_entries is not None:
+        idf_map, default_idf = collect_idf_map_bounded(idf, cfg.idf_max_entries)
+    else:
+        idf_map, default_idf = collect_idf_map(idf), 1e-5
     scored = score_pairs(
         pairs, docs, idf_map,
         weights=cfg.weights, lev_prefix=cfg.lev_prefix,
         cascade_min_jaccard=cfg.cascade_min_jaccard,
+        default_idf=default_idf,
     )
     matches = scored.filter(F.col("score") >= cfg.threshold)
     components = connected_components(

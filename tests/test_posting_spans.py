@@ -132,3 +132,66 @@ def test_synonym_expand(spark):
     assert out[("movie", "movie")] == 0.5  # identity keeps incoming weight
     assert math.isclose(out[("movie", "film")], 0.45, rel_tol=1e-12)  # 0.5 * 0.9
     assert out[("rock", "rock")] == 1.0 and len(out) == 3
+
+
+def test_bounded_idf_map(spark):
+    """collect_idf_map_bounded keeps the most frequent tokens and returns
+    a tail default inside the dropped tokens' IDF band — the web-scale
+    broadcast cap (see MatchConfig.idf_max_entries)."""
+    from entitymatch_spark.functions.text import tokenize
+    from entitymatch_spark.operators.posting import (
+        build_posting,
+        collect_idf_map,
+        collect_idf_map_bounded,
+        token_idf,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common shared words plus rare{i} token{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    ).select("doc_id", tokenize("text").alias("tokens"))
+    posting = build_posting(docs, id_col="doc_id")
+    idf = token_idf(posting, n_docs=40)
+    full = collect_idf_map(idf)
+
+    cap = 8
+    mp, default = collect_idf_map_bounded(idf, cap)
+    assert len(mp) == cap
+    # kept = the cap most frequent tokens (lowest idf values)
+    kept_dfs = sorted(full[t] for t in mp)
+    dropped = [v for t, v in full.items() if t not in mp]
+    assert max(kept_dfs) <= min(dropped) + 1e-12
+    # default approximates the dropped band
+    assert min(dropped) - 1e-9 <= default <= max(dropped) + 1e-9
+    # exact values preserved for kept tokens
+    for t in mp:
+        assert abs(mp[t] - full[t]) < 1e-12
+
+    # no-truncation case: full map, floor default
+    mp_all, d_all = collect_idf_map_bounded(idf, 10_000)
+    assert mp_all == full and d_all == 1e-5
+
+
+def test_pipeline_with_bounded_idf_still_clusters(spark):
+    """Capping the IDF broadcast must not break matching on the labeled
+    corpus (rare tokens score at the tail mean instead of exact IDF)."""
+    from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
+    from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+    fx = generate_corpus(n_clusters=30, seed=11)
+    pages = corpus_to_spark(spark, fx)["pages"]
+    full = match_pipeline(pages, MatchConfig(cache=False))
+    capped = match_pipeline(pages, MatchConfig(cache=False, idf_max_entries=300))
+
+    def clusters(res):
+        rows = res.clusters.select("doc_id", "cluster_id").collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in by.values()}
+
+    a, b = clusters(full), clusters(capped)
+    # allow tiny drift on boundary pairs, but the partitions must agree
+    # on at least 90% of clusters
+    inter = len(a & b)
+    assert inter / max(len(a), len(b)) >= 0.9, (len(a), len(b), inter)

@@ -83,3 +83,79 @@ def test_streaming_event_counts(spark, tmp_path):
     want = {(r["win_start"], r["event_type"]): r["n"] for r in batch.collect()}
     for r in rows:
         assert want[(r["win_start"], r["event_type"])] == r["n"]
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: state survives micro-batch
+    boundaries (maxFilesPerTrigger=1) and idle sessions flush via
+    event-time timeout once the watermark passes last_event + gap."""
+    import os
+    import pandas as pd
+
+    from entitymatch_spark.streaming.stateful import sessionize_stream
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []  # (user_id, ts, value)
+    for uid in range(1, 5):
+        t = base + pd.Timedelta(minutes=uid)
+        for sess in range(3):          # 3 sessions per user
+            for k in range(4):         # 4 events per session, 5-min gaps
+                rows.append((uid, t, float(uid * 100 + sess * 10 + k)))
+                t += pd.Timedelta(minutes=5)
+            t += pd.Timedelta(minutes=45)  # > 30-min gap closes the session
+    # sentinel far in the future: advances the watermark so every other
+    # user's final session times out and flushes
+    sentinel_uid, sentinel_ts = 999, base + pd.Timedelta(days=10)
+    rows.append((sentinel_uid, sentinel_ts, 0.0))
+
+    rows.sort(key=lambda r: r[1])
+    d = tmp_path / "sess_ev"
+    d.mkdir()
+    chunks = [rows[: len(rows) // 3], rows[len(rows) // 3 : 2 * len(rows) // 3],
+              rows[2 * len(rows) // 3 :]]
+    for i, chunk in enumerate(chunks):
+        df = spark.createDataFrame(
+            [(u, t.to_pydatetime(), v) for u, t, v in chunk],
+            "user_id long, ts timestamp, value double",
+        )
+        p = d / f"chunk-{i}"
+        df.coalesce(1).write.parquet(str(p))
+        for f in p.rglob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+        .writeStream.format("memory").queryName("sess_sink")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["total"])
+        for r in spark.sql("select * from sess_sink").collect()
+    }
+
+    # pandas oracle: split per-user ts-sorted events on >30-min gaps
+    want = set()
+    byu: dict = {}
+    for u, t, v in rows:
+        byu.setdefault(u, []).append((t, v))
+    for u, evs in byu.items():
+        if u == sentinel_uid:
+            continue  # its session never closes (watermark stops 2h short)
+        evs.sort()
+        cur = [evs[0]]
+        for e in evs[1:]:
+            if (e[0] - cur[-1][0]) > pd.Timedelta(minutes=30):
+                want.add((u, cur[0][0].to_pydatetime(), cur[-1][0].to_pydatetime(),
+                          len(cur), sum(v for _, v in cur)))
+                cur = []
+            cur.append(e)
+        want.add((u, cur[0][0].to_pydatetime(), cur[-1][0].to_pydatetime(),
+                  len(cur), sum(v for _, v in cur)))
+    assert got == want, (len(got), len(want))
