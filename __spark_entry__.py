@@ -627,6 +627,21 @@ def q_ann_lsh_topk(spark, sf):
     return out.select("qid", "nid", F.round("cosine", 4).alias("cosine"), "rnk")
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN with deterministic data-row centroids (vec_id < 8) —
+    every step is relational, so unlike the seeded-hyperplane LSH
+    variant this one is fully DuckDB-oracle-checkable."""
+    from entitymatch_spark.operators.ann import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    out = ivf_topk(q, e, cents, k=5, nprobe=2)
+    return out.select("qid", "nid", F.round("cosine", 4).alias("cosine"), "rnk")
+
+
 def q_media_features(spark, sf):
     from entitymatch_spark.operators.multimodal import extract_media_features
 
@@ -732,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "match_clusters": q_match_clusters,
         "match_clusters_token": q_match_clusters_token,
@@ -933,6 +949,35 @@ def oracle_sql() -> dict[str, str]:
                           row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rnk
                    FROM p)
             SELECT qid, nid, round(c, 4) AS cosine, rnk FROM rk WHERE rnk <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            cents AS (SELECT vec_id AS cent_id, e AS cv FROM n WHERE vec_id < 8),
+            q AS (SELECT vec_id, e FROM n WHERE vec_id < 10),
+            cell_rk AS (SELECT n.vec_id, c.cent_id,
+                               row_number() OVER (PARTITION BY n.vec_id
+                                   ORDER BY list_cosine_similarity(n.e, c.cv) DESC,
+                                            c.cent_id ASC) AS crank
+                        FROM n CROSS JOIN cents c),
+            cells AS (SELECT vec_id AS nid, cent_id FROM cell_rk WHERE crank = 1),
+            probe_rk AS (SELECT q.vec_id, c.cent_id,
+                                row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY list_cosine_similarity(q.e, c.cv) DESC,
+                                             c.cent_id ASC) AS crank
+                         FROM q CROSS JOIN cents c),
+            probes AS (SELECT vec_id AS qid, cent_id FROM probe_rk WHERE crank <= 2),
+            cand AS (SELECT DISTINCT p.qid, cl.nid
+                     FROM probes p JOIN cells cl USING (cent_id)
+                     WHERE p.qid != cl.nid),
+            scored AS (SELECT c.qid, c.nid,
+                              list_cosine_similarity(a.e, b.e) AS cos
+                       FROM cand c JOIN n a ON a.vec_id = c.qid
+                       JOIN n b ON b.vec_id = c.nid),
+            rk AS (SELECT qid, nid, cos,
+                          row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, nid ASC) AS rnk
+                   FROM scored)
+            SELECT qid, nid, round(cos, 4) AS cosine, rnk FROM rk WHERE rnk <= 5
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,

@@ -123,3 +123,79 @@ def rp_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cosine", "rnk")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, cent_id, crank): each vector's ``nprobe`` nearest centroids
+    by cosine (crank 1 = nearest; ties broken by centroid id).
+
+    The centroid table is tiny -> broadcast; assignment is a narrow
+    broadcast-join + window per vector, no corpus shuffle.
+    """
+    c = centroids.select(
+        F.col(cent_id), F.col(cent_vec).cast("array<double>").alias("cv")
+    )
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("ev"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc(cent_id))
+    return (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("csim", cosine_expr("ev", "cv"))
+        .withColumn("crank", F.row_number().over(w).cast("long"))
+        .filter(F.col("crank") <= nprobe)
+        .select(id_col, cent_id, "crank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors are partitioned into
+    centroid cells (cell assignment = nearest centroid); a query probes
+    its ``nprobe`` nearest cells and exact-reranks only their members.
+
+    Centroids here are supplied by the caller (deterministic — e.g. a
+    fixed sample of the corpus, or offline k-means output); the
+    operator itself has no iterative/seeded step, which also makes it
+    verifiable against a relational oracle. At scale: the corpus is
+    repartitioned by cell once (one shuffle, reusable across query
+    batches), queries touch nprobe/|C| of the data.
+    """
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, cent_id, cent_vec, nprobe=1)
+    probes = ivf_assign(queries, centroids, id_col, vec_col, cent_id, cent_vec, nprobe=nprobe)
+    cand = (
+        probes.select(F.col(id_col).alias("qid"), cent_id)
+        .join(cells.select(F.col(id_col).alias("nid"), cent_id), cent_id)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("ea")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("eb")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.join(q, "qid").join(c, "nid")
+        .withColumn("cosine", cosine_expr("ea", "eb"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )

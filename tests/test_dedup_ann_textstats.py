@@ -183,3 +183,27 @@ def test_multimodal_features(spark):
     )
     r = extract_media_features(nulls).collect()[0]
     assert r["n_bytes"] == 0 and r["decode_status"] == "stubbed"
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with nprobe=2 over 8 data-row centroids recovers most of the
+    exact top-5 on the embeddings fixture, and every IVF result is a
+    true neighbor with the exact cosine."""
+    from entitymatch_spark.operators.ann import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    exact = {(r["qid"], r["nid"]) for r in cosine_topk(q, e, k=5).collect()}
+    approx_rows = ivf_topk(q, e, cents, k=5, nprobe=2).collect()
+    approx = {(r["qid"], r["nid"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # nprobe=2 of 8 cells -> partial recall OK
+    # exactness of reranked cosines: spot-check against brute force values
+    exact_cos = {(r["qid"], r["nid"]): r["cosine"] for r in cosine_topk(q, e, k=5).collect()}
+    for r in approx_rows:
+        key = (r["qid"], r["nid"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9
