@@ -119,6 +119,12 @@ def simhash_dedup_pairs(
     so banding loses nothing for max_hamming <= 3. Verification:
     bit_count(xor) — all JVM-side.
     """
+    # NO persist here, deliberately: the signature plan ends in a shuffle
+    # (the 64-column aggregate), so Spark's ReusedExchange already shares
+    # that materialization across all five references below — a .persist()
+    # would only add a cache-write barrier (measured 7x slower at sf0.1).
+    # Contrast minhash LSH keys, which ARE narrow (no exchange to reuse)
+    # and genuinely need caller-side persistence.
     sigs = simhash_signature(docs, id_col, tokens_col)
     bands = [
         F.concat(
