@@ -653,6 +653,20 @@ def q_media_features(spark, sf):
     return extract_media_features(media)
 
 
+def q_media_frames(spark, sf):
+    """Frame-sampling plumbing over binary payloads. The stub's frame
+    count is sha256-derived, which DuckDB can reproduce — so the row
+    multiplication (one row per sampled frame) is value-checked."""
+    from entitymatch_spark.operators.multimodal import sample_frames
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = sample_frames(media, every_ms=1000, max_frames=8)
+    return out.select("doc_id", "frame_idx", "frame_ts_ms", "decode_status")
+
+
 def q_match_clusters(spark, sf):
     from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
 
@@ -749,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "match_clusters": q_match_clusters,
         "match_clusters_token": q_match_clusters_token,
     }
@@ -1094,6 +1109,17 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
                    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
             FROM events GROUP BY 1
+        """,
+        "media_frames": """
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+            n AS (SELECT doc_id,
+                         1 + (('0x' || substr(sha256(text || '|frames'), 1, 2))::INT % 8) AS k
+                  FROM d)
+            , ex AS (SELECT doc_id, unnest(range(0, k)) AS i FROM n)
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+                   'stubbed' AS decode_status
+            FROM ex
         """,
         # Full pipeline with token-only blocking: every stage (IDF floor
         # keys -> block purge -> pairs -> 5-feature blended score ->

@@ -100,3 +100,116 @@ def extract_media_features(
             )
 
     return df.mapInPandas(batches, MEDIA_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id string, media_type string, out_w int, out_h int, "
+    "payload binary, decode_status string"
+)
+
+FRAME_SCHEMA = (
+    "doc_id string, frame_idx int, frame_ts_ms long, frame binary, "
+    "decode_status string"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int = 224,
+    out_h: int = 224,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """mapInPandas resize to (out_w, out_h) — the preprocessing step of
+    an image training pipeline. Narrow (partition-preserving), one
+    Python hop per Arrow batch. The codec is STUBBED (no PIL in this
+    container): the 'resized payload' is a deterministic digest-seeded
+    byte string of the correct nominal size class, and decode_status
+    records it — swapping in a real `Image.resize` changes only the
+    inside of the batch function, not the plumbing, schema, or plan.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload, mtype in zip(
+                pdf[id_col], pdf[payload_col], pdf[media_type_col]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                if _HAVE_PIL and mtype == "image":
+                    try:
+                        raise NotImplementedError  # real path would resize here
+                    except NotImplementedError:
+                        pass
+                # deterministic stub: digest-expanded bytes, sized to a
+                # small constant block per output pixel row
+                digest = hashlib.sha1(data + b"|resize").digest()
+                fake = (digest * ((out_h // len(digest)) + 1))[:out_h]
+                rows.append(
+                    {
+                        "doc_id": str(rid),
+                        "media_type": mtype,
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "payload": fake,
+                        "decode_status": "stubbed",
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "out_w", "out_h",
+                    "payload", "decode_status",
+                ],
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas frame sampling for video payloads: one output row per
+    sampled frame (doc_id, frame_idx, frame_ts_ms, frame). A row-
+    multiplying map — the Arrow batch out is larger than in, which
+    mapInPandas supports natively (unlike a scalar pandas UDF).
+
+    STUBBED decode: frame count derives deterministically from the
+    payload digest (as if probing container metadata) and each 'frame'
+    is a digest-seeded byte string; a real implementation would call
+    the video codec with the same signature. The count digest is
+    sha256 so the driver's DuckDB oracle can reproduce the row set
+    (DuckDB has sha256 but not sha1).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(data + b"|frames").digest()
+                n = min(max_frames, 1 + digest[0] % max_frames)
+                for i in range(n):
+                    fd = hashlib.sha1(data + i.to_bytes(4, "big")).digest()
+                    rows.append(
+                        {
+                            "doc_id": str(rid),
+                            "frame_idx": i,
+                            "frame_ts_ms": i * every_ms,
+                            "frame": fd,
+                            "decode_status": "stubbed",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "frame_ts_ms", "frame", "decode_status",
+                ],
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

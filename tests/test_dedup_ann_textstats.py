@@ -207,3 +207,35 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         key = (r["qid"], r["nid"])
         if key in exact_cos:
             assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """Multimodal resize + frame sampling: deterministic stubbed codecs,
+    real mapInPandas plumbing (row-multiplying output, stable schema,
+    partition independence)."""
+    from entitymatch_spark.operators.multimodal import resize_media, sample_frames
+
+    media = spark.createDataFrame(
+        [("a", b"payload-one", "image"), ("b", b"payload-two", "video"), ("c", None, "video")],
+        "doc_id string, payload binary, media_type string",
+    )
+    rs = resize_media(media, out_w=64, out_h=64).collect()
+    assert len(rs) == 3
+    assert all(r["out_w"] == 64 and r["out_h"] == 64 and r["decode_status"] == "stubbed" for r in rs)
+    assert all(len(bytes(r["payload"])) == 64 for r in rs)
+    # determinism across partitionings
+    again = {r["doc_id"]: bytes(r["payload"]) for r in resize_media(media.repartition(3), out_w=64, out_h=64).collect()}
+    assert {r["doc_id"]: bytes(r["payload"]) for r in rs} == again
+
+    fr = sample_frames(media, every_ms=500, max_frames=4)
+    rows = fr.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, frames in by_doc.items():
+        assert 1 <= len(frames) <= 4
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(frames)))
+        assert all(f["frame_ts_ms"] == f["frame_idx"] * 500 for f in frames)
+    again2 = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in sample_frames(media.repartition(3), every_ms=500, max_frames=4).collect()}
+    assert {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in rows} == again2
