@@ -653,6 +653,15 @@ def q_media_features(spark, sf):
     return extract_media_features(media)
 
 
+def q_token_count_bpe(spark, sf):
+    from entitymatch_spark.operators.textstats import token_count_bpe
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.regexp_replace(F.lower(F.trim("text")), r"\([^)]*\)", "").alias("norm_text")
+    )
+    return token_count_bpe(d)
+
+
 def q_media_frames(spark, sf):
     """Frame-sampling plumbing over binary payloads. The stub's frame
     count is sha256-derived, which DuckDB can reproduce — so the row
@@ -746,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "set_ops": q_set_ops,
@@ -1037,6 +1047,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len({TOKS}) AS n_tokens,
                    len(list_distinct({TOKS})) AS n_uniq
             FROM documents
+        """,
+        "token_count_bpe": f"""
+            WITH d AS (SELECT doc_id, {NORM} AS norm FROM documents)
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(norm, '\\s+'), x -> x != '')) AS n_ws,
+                   len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_words,
+                   len(regexp_extract_all(norm, '[a-z]{{1,4}}|[0-9]{{1,3}}|[^a-z0-9\\s]')) AS n_pieces
+            FROM d
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp FROM documents

@@ -89,6 +89,36 @@ def token_count(
     )
 
 
+# BPE-ish pre-tokenizer pattern (ASCII-safe subset usable identically
+# under Java regex and RE2): a word is letters OR digits OR one
+# non-alnum-non-space char; subwords additionally split every 4 letters
+# (a crude stand-in for merge-limited BPE pieces used to ESTIMATE LLM
+# token counts without a vocab file).
+BPE_WORD_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+BPE_PIECE_RE = r"[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]"
+
+
+def token_count_bpe(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "norm_text"
+) -> DataFrame:
+    """(id, n_ws, n_words, n_pieces): whitespace-token count, BPE-ish
+    word count, and BPE-ish piece count — the training-data-pipeline
+    estimate of LLM token cost per document. Pure regexp column
+    expressions (whole-stage codegen), restricted to a regex subset
+    that Java regex and RE2 (DuckDB) interpret identically on the
+    normalized (lowercased) text."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    words = F.size(F.regexp_extract_all(t, F.lit(BPE_WORD_RE), F.lit(0)))
+    pieces = F.size(F.regexp_extract_all(t, F.lit(BPE_PIECE_RE), F.lit(0)))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("n_ws"),
+        words.cast("long").alias("n_words"),
+        pieces.cast("long").alias("n_pieces"),
+    )
+
+
 def content_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
 ) -> DataFrame:

@@ -239,3 +239,22 @@ def test_resize_and_frame_sample_plumbing(spark):
         assert all(f["frame_ts_ms"] == f["frame_idx"] * 500 for f in frames)
     again2 = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in sample_frames(media.repartition(3), every_ms=500, max_frames=4).collect()}
     assert {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in rows} == again2
+
+
+def test_token_count_bpe_properties(spark):
+    from entitymatch_spark.operators.textstats import token_count_bpe
+
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, "don't stop, it's 12345 now!"), (3, ""), (4, "internationalization")],
+        "doc_id long, norm_text string",
+    )
+    rows = {r["doc_id"]: r for r in token_count_bpe(d).collect()}
+    assert rows[1]["n_ws"] == 2 and rows[1]["n_words"] == 2
+    # "hello" -> hell+o (2 pieces), "world" -> worl+d (2)
+    assert rows[1]["n_pieces"] == 4
+    assert rows[3]["n_ws"] == 0 and rows[3]["n_words"] == 0 and rows[3]["n_pieces"] == 0
+    # 20-letter word -> 5 four-letter pieces
+    assert rows[4]["n_words"] == 1 and rows[4]["n_pieces"] == 5
+    # pieces >= words >= ws-ish ordering holds on real text
+    r2 = rows[2]
+    assert r2["n_pieces"] >= r2["n_words"] >= r2["n_ws"]
