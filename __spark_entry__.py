@@ -501,6 +501,17 @@ def q_multi_pattern_first(spark, sf):  # J8 FindFirst (StringSearch.cs:362-442)
     ).select("doc_id", "phrase", F.col("start").cast("long").alias("start"))
 
 
+def q_multi_pattern_count(spark, sf):  # J8 FindAll (StringSearch.cs:362-442)
+    from entitymatch_spark.operators.textsearch import multi_pattern_scan
+
+    d = _docs(spark, sf).withColumnRenamed("norm", "norm_text")
+    return (
+        multi_pattern_scan(d, SCAN_PHRASES, text_col="norm_text", first_only=False)
+        .groupBy("doc_id", "phrase")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 def q_token_rejoin(spark, sf):  # P9 ConcatSubString (Util.cs:112-132)
     d = _docs(spark, sf)
     return d.select(
@@ -760,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "set_ops": q_set_ops,
         "multi_pattern_first": q_multi_pattern_first,
+        "multi_pattern_count": q_multi_pattern_count,
         "token_rejoin": q_token_rejoin,
         "char_class_stats": q_char_class_stats,
         "json_export": q_json_export,
@@ -1079,6 +1091,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, ph.phrase,
                    CAST(strpos(d.norm, ph.phrase) - 1 AS BIGINT) AS start
             FROM d CROSS JOIN ph WHERE strpos(d.norm, ph.phrase) > 0
+        """,
+        # FindAll occurrence counts: enumerate every start position and
+        # test the substring — exact all-occurrence semantics incl.
+        # overlaps (replace/regex counting would miss overlapping hits)
+        "multi_pattern_count": f"""
+            WITH d AS (SELECT doc_id, {NORM} AS norm FROM documents),
+            ph(phrase) AS (VALUES {", ".join(f"('{p}')" for p in SCAN_PHRASES)}),
+            pos AS MATERIALIZED (SELECT d.doc_id, d.norm, ph.phrase,
+                           unnest(range(1, greatest(length(d.norm) - length(ph.phrase) + 2, 1))) AS p
+                    FROM d CROSS JOIN ph)
+            SELECT doc_id, phrase, count(*) AS n_hits
+            FROM pos WHERE substr(norm, p, length(phrase)) = phrase
+            GROUP BY 1, 2
         """,
         "token_rejoin": f"""
             SELECT doc_id,
