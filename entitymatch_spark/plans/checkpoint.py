@@ -84,7 +84,17 @@ class CheckpointManager:
             shutil.rmtree(out)
         tmp.replace(out)  # atomic commit of the data dir
         persisted = self.spark.read.parquet(str(out))
-        rows = persisted.count()
+        # per-partition lineage: row count per output file in one pass
+        # (file name = the physical partition the rows landed in)
+        from pyspark.sql import functions as F
+
+        by_file = {
+            Path(r["f"]).name: r["n"]
+            for r in persisted.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        rows = sum(by_file.values())
         files = sorted(p.name for p in out.glob("*.parquet"))
         dur = time.perf_counter() - t0
         self._write_manifest(
@@ -95,6 +105,7 @@ class CheckpointManager:
                 "rows": rows,
                 "n_files": len(files),
                 "files": files,
+                "rows_by_file": {f: by_file.get(f, 0) for f in files},
                 "schema": persisted.schema.simpleString(),
                 "seconds": round(dur, 3),
             },

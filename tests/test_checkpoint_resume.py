@@ -123,3 +123,17 @@ def test_resumable_pipeline_kill_between_buckets(spark, tmp_path, small_corpus):
     for b in ("0", "1"):
         assert manifest_after["rows_by_bucket"][b] == rows_before[b]
     assert scored.count() == sum(manifest_after["rows_by_bucket"].values())
+
+
+def test_stage_manifest_records_per_file_lineage(spark, tmp_path):
+    """north_star 'per-partition lineage': the stage manifest records a
+    per-output-file row count that sums to the stage total."""
+    import json
+
+    ck = CheckpointManager(spark, tmp_path / "lineage")
+    ck.stage("docs", lambda: spark.range(1000).repartition(4).withColumnRenamed("id", "doc_id"))
+    m = json.loads((tmp_path / "lineage" / "docs.manifest.json").read_text())
+    assert m["rows"] == 1000
+    assert set(m["rows_by_file"]) == set(m["files"]) and len(m["files"]) == 4
+    assert sum(m["rows_by_file"].values()) == 1000
+    assert all(n > 0 for n in m["rows_by_file"].values())
