@@ -182,7 +182,16 @@ def generate_corpus(
             text = _stylize(rng, " ".join(toks))
             url = f"https://site{cid}.example/p/{m}"
             ts = epoch + _dt.timedelta(seconds=row_idx * 137)
-            html = f"<html><body>{text}</body></html>".encode("utf-8")
+            # realistic-ish page wrapper: head (title/style) and script
+            # are non-content; body carries the entity-escaped text.
+            # functions/html.html_to_text inverts this byte-identically.
+            esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            html = (
+                "<html><head><title>doc</title>"
+                "<style>p{margin:0}</style></head>"
+                f"<body><p class=\"c{cid % 7}\">{esc}</p>"
+                "<script>var t=1;</script></body></html>"
+            ).encode("utf-8")
             lang = _LANGS[rng.randrange(len(_LANGS))]
             page_rows.append((url, ts, html, text, lang, cid))
             urls.append(url)

@@ -92,6 +92,56 @@ def test_corpus_determinism():
 
 
 def test_html_roundtrip():
+    """html carries the entity-escaped text inside a head/body/script
+    wrapper; the python-side inverse reproduces text exactly (the
+    Spark-side inverse is functions/html.html_to_text, tested below)."""
+    import re
+
     fx = generate_corpus(n_clusters=10, seed=42)
     for _, row in fx.pages.head(20).iterrows():
-        assert bytes(row["html"]).decode("utf-8") == f"<html><body>{row['text']}</body></html>"
+        page = bytes(row["html"]).decode("utf-8")
+        m = re.search(r"<p[^>]*>(.*?)</p>", page, re.S)
+        assert m is not None
+        unesc = (
+            m.group(1).replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+        )
+        assert unesc == row["text"]
+
+
+def test_html_to_text_byte_identical_on_corpus(spark):
+    """input_hint invariant: extracting text from the raw html bytes
+    reproduces the stored text column byte-for-byte, for every url."""
+    from entitymatch_spark.functions.html import html_to_text
+    from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+    fx = generate_corpus(n_clusters=40, seed=17)
+    pages = corpus_to_spark(spark, fx)["pages"]
+    bad = (
+        pages.withColumn("ext", html_to_text(F.decode("html", "utf-8")))
+        .filter(F.col("ext") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_html_to_text_goldens(spark):
+    from entitymatch_spark.functions.html import html_to_text
+
+    cases = [
+        ("<html><body>plain</body></html>", "plain"),
+        ("<body>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#x27;</body>", "a & b <tag> \"q\" 's'"),
+        ("<head><title>skip me</title></head><body>kept</body>", "kept"),
+        ("<body>one<script>var x='<b>no</b>';</script>two</body>", "onetwo"),
+        ("<body>x<style>p{}</style>y<!-- z -->w</body>", "xyw"),
+        ("<BODY><P CLASS='a'>upper</P></BODY>", "upper"),
+        ("&amp;lt;", "&lt;"),  # double-escape survives (amp last)
+    ]
+    df = spark.createDataFrame(cases, "html string, want string")
+    got = df.select(html_to_text("html").alias("g"), "want").collect()
+    for r in got:
+        assert r["g"] == r["want"], (r["g"], r["want"])
+    # collapse_ws variant
+    one = spark.createDataFrame(
+        [("<body>  a\n\n<b>b</b>   c </body>",)], "html string"
+    ).select(html_to_text("html", collapse_ws=True).alias("g")).collect()[0]["g"]
+    assert one == "a b c"
