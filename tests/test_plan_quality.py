@@ -86,3 +86,33 @@ def test_candidate_join_is_equijoin(spark):
     )
     plan = _plan(candidate_pairs(keys, max_block=10))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_rowwise_python_in_any_contract_query(spark):
+    """Sweep every contract query's physical plan: Python appears only
+    as Arrow-batched evaluation (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas), never row-at-a-time BatchEvalPython."""
+    qs = entry_mod.queries()
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        df = fn(spark, SF)
+        plan = _plan(df)
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython"
+    assert not offenders, offenders
+
+
+def test_scorer_uses_banded_levenshtein(spark):
+    """The pair scorer's JVM feature must be the 3-arg banded
+    levenshtein (O(band*len)), not the unbounded O(len^2) form."""
+    from entitymatch_spark.operators.scoring import score_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", ["aa", "bb"]), (2, "aa bb cc", ["aa", "bb", "cc"])],
+        "doc_id long, norm_text string, tokens array<string>",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plan = _plan(score_pairs(pairs, docs, {"aa": 1.0}))
+    assert "levenshtein" in plan
+    # 3-arg form shows the band as the third (optional) argument
+    assert "Some(32))" in plan, plan[plan.find("levenshtein"):][:200]
