@@ -1092,6 +1092,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strpos(d.norm, ph.phrase) - 1 AS BIGINT) AS start
             FROM d CROSS JOIN ph WHERE strpos(d.norm, ph.phrase) > 0
         """,
+        # Winnowing (Schleimer et al.): min 60-bit-md5 gram hash per
+        # sliding window of 5 consecutive 4-grams, deduplicated
+        "winnowing_fingerprints": f"""
+            WITH {POS_CTE},
+            g AS (SELECT p.doc_id, p.pos,
+                         ('0x' || substr(md5(p.token || ' ' || p2.token || ' ' || p3.token || ' ' || p4.token), 1, 15))::BIGINT AS h
+                  FROM pos p
+                  JOIN pos p2 ON p2.doc_id = p.doc_id AND p2.pos = p.pos + 1
+                  JOIN pos p3 ON p3.doc_id = p.doc_id AND p3.pos = p.pos + 2
+                  JOIN pos p4 ON p4.doc_id = p.doc_id AND p4.pos = p.pos + 3),
+            w AS (SELECT doc_id,
+                         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+                  FROM g)
+            SELECT DISTINCT doc_id, fp FROM w
+        """,
         # FindAll occurrence counts: enumerate every start position and
         # test the substring — exact all-occurrence semantics incl.
         # overlaps (replace/regex counting would miss overlapping hits)

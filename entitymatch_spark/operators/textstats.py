@@ -151,9 +151,15 @@ def winnowing_fingerprints(
             + f"concat_ws(' ', {', '.join(f'{tokens_col}[i+{j}]' for j in range(k))}))"
         )
     )
+    # gram hash = first 60 bits of md5, portable across engines (DuckDB
+    # reproduces it exactly, so the contract query is value-checked;
+    # xxhash64 would be ~2x faster at scale but is Spark-only — swap is
+    # this one line)
     hashed = docs.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram")
-    ).withColumn("h", F.xxhash64("gram"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    )
     w = (
         Window.partitionBy(id_col)
         .orderBy("pos")
