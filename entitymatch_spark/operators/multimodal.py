@@ -36,8 +36,30 @@ except ImportError:
 
 
 def _decode_real(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Real codec probe (only reachable when PIL imports)."""
+    if _HAVE_PIL and media_type == "image":
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            n_frames = getattr(im, "n_frames", 1)
+            return im.width, im.height, int(n_frames)
     raise NotImplementedError(
         "real codecs unavailable in this environment; stubbed features used"
+    )
+
+
+def _resize_real(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Real resize (only reachable when PIL imports): decode, resize,
+    re-encode PNG. The stub swap is exactly this one function body."""
+    if _HAVE_PIL:
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            buf = io.BytesIO()
+            im.resize((out_w, out_h)).save(buf, format="PNG")
+            return buf.getvalue()
+    raise NotImplementedError(
+        "real codecs unavailable in this environment; stubbed payload used"
     )
 
 
@@ -73,7 +95,7 @@ def extract_media_features(
                     try:
                         w, h, fr = _decode_real(data, mtype)
                         status = "decoded"
-                    except NotImplementedError:
+                    except Exception:  # undecodable payload -> stub features
                         w, h, fr = _fake_features(data)
                         status = "stubbed"
                 else:
@@ -137,23 +159,26 @@ def resize_media(
                 pdf[id_col], pdf[payload_col], pdf[media_type_col]
             ):
                 data = bytes(payload) if payload is not None else b""
+                out_payload, status = None, "stubbed"
                 if _HAVE_PIL and mtype == "image":
                     try:
-                        raise NotImplementedError  # real path would resize here
-                    except NotImplementedError:
-                        pass
-                # deterministic stub: digest-expanded bytes, sized to a
-                # small constant block per output pixel row
-                digest = hashlib.sha1(data + b"|resize").digest()
-                fake = (digest * ((out_h // len(digest)) + 1))[:out_h]
+                        out_payload = _resize_real(data, out_w, out_h)
+                        status = "decoded"
+                    except Exception:  # bad payload / unsupported codec
+                        out_payload, status = None, "stubbed"
+                if out_payload is None:
+                    # deterministic stub: digest-expanded bytes, sized to
+                    # a small constant block per output pixel row
+                    digest = hashlib.sha1(data + b"|resize").digest()
+                    out_payload = (digest * ((out_h // len(digest)) + 1))[:out_h]
                 rows.append(
                     {
                         "doc_id": str(rid),
                         "media_type": mtype,
                         "out_w": out_w,
                         "out_h": out_h,
-                        "payload": fake,
-                        "decode_status": "stubbed",
+                        "payload": out_payload,
+                        "decode_status": status,
                     }
                 )
             yield pd.DataFrame(

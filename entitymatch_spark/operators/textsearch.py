@@ -15,6 +15,7 @@ or normalized) text, e.g. brand/entity lexicons over web pages.
 
 from __future__ import annotations
 
+import hashlib
 from collections import deque
 
 import pandas as pd
@@ -74,7 +75,13 @@ class ACAutomaton:
         return firsts
 
 
-_AC_CACHE: dict[int, ACAutomaton] = {}
+# Executor-side automaton cache, keyed by a CONTENT HASH of the phrase
+# list (computed once on the driver). Keying by id(bc.value) would be
+# unsound: CPython reuses object ids after GC, so two different phrase
+# lists in a long-lived executor could collide and silently reuse the
+# wrong automaton. The content key also re-hits across separate queries
+# over the same dictionary.
+_AC_CACHE: dict[str, ACAutomaton] = {}
 
 
 def multi_pattern_scan(
@@ -91,10 +98,11 @@ def multi_pattern_scan(
     """
     spark = SparkSession.getActiveSession()
     bc = spark.sparkContext.broadcast(list(phrases))
+    cache_key = hashlib.sha1("\x00".join(phrases).encode()).hexdigest()
     fo = bool(first_only)
 
     def batch(texts: pd.Series) -> pd.Series:
-        key = id(bc.value)
+        key = cache_key
         ac = _AC_CACHE.get(key)
         if ac is None:
             ac = ACAutomaton(bc.value)
@@ -120,4 +128,28 @@ def multi_pattern_scan(
     return (
         docs.select(F.col(id_col), F.explode(udf(F.col(text_col))).alias("hit"))
         .select(id_col, F.col("hit.phrase").alias("phrase"), F.col("hit.start").alias("start"))
+    )
+
+
+def contains_any(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    result_col: str = "has_any",
+) -> DataFrame:
+    """(id, has_any): does the text contain ANY dictionary phrase?
+
+    The reference's ContainsAny (StringSearch.cs:362-442) is the
+    boolean early-exit variant of the AC scan. Spark-side the right
+    tool is NOT the Python automaton: a JVM ``exists`` over a literal
+    phrase array short-circuits on the first hit inside whole-stage
+    codegen — zero Python, zero shuffle, and Catalyst can push the
+    projection into the scan. (For >10^4 phrases, fall back to
+    multi_pattern_scan + groupBy-any, where the automaton amortizes.)
+    """
+    arr = F.array(*[F.lit(p) for p in phrases])
+    return docs.select(
+        F.col(id_col),
+        F.exists(arr, lambda p: F.instr(F.col(text_col), p) > 0).alias(result_col),
     )

@@ -64,8 +64,11 @@ class MatchConfig:
     # 10^12-doc scale the raw web vocabulary does not fit in a broadcast;
     # keep the top-K most frequent tokens and score dropped (rare) tokens
     # at the tail's occurrence-weighted mean IDF — see
-    # posting.collect_idf_map_bounded.
-    idf_max_entries: int | None = None
+    # posting.collect_idf_map_bounded. BOUNDED BY DEFAULT: 2M entries
+    # (~100-200 MB broadcast) so the default path has no unbounded
+    # driver-side collect; at test scale the vocabulary is far smaller
+    # than the cap, so nothing is dropped and results are identical.
+    idf_max_entries: int | None = 2_000_000
     seed: int = 42
     cache: bool = True  # persist docs + pairs (reused by several stages)
     id_col: str = "url"

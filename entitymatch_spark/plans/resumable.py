@@ -28,6 +28,7 @@ from entitymatch_spark.operators.clustering import assign_clusters, connected_co
 from entitymatch_spark.operators.posting import (
     build_posting,
     collect_idf_map,
+    collect_idf_map_bounded,
     token_idf,
 )
 from entitymatch_spark.operators.scoring import score_pairs
@@ -64,13 +65,21 @@ def resumable_match_pipeline(
 
     keys = ck.stage("keys", _keys)
     pairs = ck.stage("pairs", lambda: candidate_pairs(keys, max_block=cfg.max_block))
-    idf_map = collect_idf_map(idf)
+    # Mirror pipeline.py: honor the broadcast cap (the long-job scenario
+    # this resumable path targets is exactly where an unbounded vocab
+    # collect would kill the driver).
+    if cfg.idf_max_entries is not None:
+        idf_map, default_idf = collect_idf_map_bounded(idf, cfg.idf_max_entries)
+    else:
+        idf_map, default_idf = collect_idf_map(idf), 1e-5
 
     def _score_bucket(b: int) -> DataFrame:
         bucket = pairs.filter(
             F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_score_buckets)) == b
         )
-        return score_pairs(bucket, docs, idf_map, weights=cfg.weights)
+        return score_pairs(
+            bucket, docs, idf_map, weights=cfg.weights, default_idf=default_idf
+        )
 
     scored = ck.bucketed_stage("scored", range(n_score_buckets), _score_bucket)
 

@@ -76,7 +76,17 @@ def sessionize_stream(
             batches = [pdf[[ts_col, value_col]] for pdf in pdfs]
             data = pd.concat(batches).sort_values(ts_col) if batches else None
             if data is not None and len(data):
-                ts_us = data[ts_col].astype("int64") // 1_000  # ns -> us
+                # Derive the epoch-micros conversion from the actual dtype
+                # instead of assuming datetime64[ns]: Arrow can deliver
+                # datetime64[us] (or others), and a hardcoded //1000 would
+                # silently skew gaps and timeouts by 1000x.
+                ts = data[ts_col]
+                unit = getattr(ts.dtype, "unit", None)  # datetime64[<unit>]
+                divisor = {"ns": 1_000, "us": 1, "ms": None, "s": None}.get(unit)
+                if divisor is None:
+                    ts = ts.dt.as_unit("us") if hasattr(ts.dt, "as_unit") else ts.astype("datetime64[us]")
+                    divisor = 1
+                ts_us = ts.astype("int64") // divisor
                 vals = data[value_col].astype("float64")
                 if state.exists:
                     start, last, n, total = state.get

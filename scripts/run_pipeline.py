@@ -50,10 +50,9 @@ def main() -> None:
     spark = SparkSession.builder.appName("entitymatch-pipeline").getOrCreate()
     ensure_workers_can_import(spark)
 
-    cfg = MatchConfig(
-        use_lsh=not args.no_lsh,
-        idf_max_entries=args.idf_max_entries,
-    )
+    cfg = MatchConfig(use_lsh=not args.no_lsh)
+    if args.idf_max_entries is not None:  # else: MatchConfig's bounded default
+        cfg.idf_max_entries = args.idf_max_entries
     if args.threshold is not None:
         cfg.threshold = args.threshold
 
