@@ -42,7 +42,9 @@ FULL_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SCALE_4N = 4 * SCALE_N
 SCALE_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SCALE_CLUSTERS", "1000"))
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+# best-of-R per leg: 6 rounds give the interleaved scaling legs enough
+# samples to dodge shared-box neighbor spikes (r1 drift: 0.66-0.81 at R=3)
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "6"))
 
 BENCH_QUERIES = [
     "build_posting",
@@ -120,9 +122,22 @@ def _scale_legs(spark, n_clusters: int) -> dict:
         legs[p] = pairs.repartition(p).persist()
         legs[p].count()
     n_pairs = legs[SCALE_N].count()
+    # Methodology guard: "parallelism = partition count of the pair
+    # table" only holds while the docs-side joins in score_pairs are
+    # BROADCAST (a shuffle join would re-partition both legs to
+    # spark.sql.shuffle.partitions and the N vs 4N ratio would no
+    # longer measure capacity). Assert it on the actual plan.
+    probe = score_pairs(legs[SCALE_N], docs, idf_map, weights=cfg.weights)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, (
+        "scaling legs require broadcast doc-side joins; plan was:\n" + plan[:2000]
+    )
     best = {SCALE_N: float("inf"), SCALE_4N: float("inf")}
-    for _ in range(max(1, SCALE_REPEATS)):
-        for p in (SCALE_N, SCALE_4N):
+    for r in range(max(1, SCALE_REPEATS)):
+        # alternate leg order each round so a neighbor-load ramp during a
+        # round penalizes both legs symmetrically over the run
+        order = (SCALE_N, SCALE_4N) if r % 2 == 0 else (SCALE_4N, SCALE_N)
+        for p in order:
             t0 = time.perf_counter()
             score_pairs(legs[p], docs, idf_map, weights=cfg.weights).write.format(
                 "noop"

@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entitymatch_spark.functions.similarity import (
-    jaro_winkler,
+    jaro_profile,
+    jaro_winkler_with_profile,
     tfidf_pair_from_profiles,
     tfidf_profile,
 )
@@ -76,8 +77,10 @@ def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX, default_idf: float = 1e-5):
     ) -> pd.DataFrame:
         idf = idf_bcast.value
         # Each doc appears in many candidate pairs; profile (token counts,
-        # tf*idf weights, norms) once per doc id per Arrow batch.
+        # tf*idf weights, norms — and the jaro char-occurrence lists)
+        # once per doc id per Arrow batch.
         profiles: dict = {}
+        jprofiles: dict = {}
 
         def prof(doc_id, toks):
             p = profiles.get(doc_id)
@@ -86,11 +89,20 @@ def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX, default_idf: float = 1e-5):
                 profiles[doc_id] = p
             return p
 
+        def jprof(doc_id, text):
+            p = jprofiles.get(doc_id)
+            if p is None:
+                p = jaro_profile(text)
+                jprofiles[doc_id] = p
+            return p
+
         jws, cosines, conts = [], [], []
         for ia, ib, ta, tb, ka, kb in zip(
             id_a, id_b, text_a, text_b, toks_a, toks_b
         ):
-            jws.append(jaro_winkler((ta or "")[:jw_prefix], (tb or "")[:jw_prefix]))
+            ta = (ta or "")[:jw_prefix]
+            tb = (tb or "")[:jw_prefix]
+            jws.append(jaro_winkler_with_profile(ta, tb, jprof(ib, tb)))
             cos, cont = tfidf_pair_from_profiles(
                 prof(ia, ka), prof(ib, kb), idf, default_idf
             )

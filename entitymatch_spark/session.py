@@ -70,7 +70,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 40k rows/batch (vs 10k default): fewer Arrow batch boundaries
+        # means fewer worker-pipeline fill/drain bubbles and better
+        # per-batch doc-profile cache hits in the pair scorer; pair rows
+        # are ~1 KB so a batch stays in the tens of MB. Measured best
+        # scoring-stage scaling efficiency of {2k,10k,25k,40k,100k} in
+        # two independent sessions.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -30,11 +30,26 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
 
 
 def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
-    """Write to an Iceberg/catalog table when named, else parquet."""
+    """Write to an Iceberg/catalog table when named, else parquet.
+
+    Table targets prefer the V2 ``writeTo`` path (atomic replace on
+    Iceberg); catalogs without REPLACE TABLE AS SELECT support (e.g.
+    the plain session catalog / Hive) fall back to the V1
+    ``saveAsTable`` path, which has the same overwrite/append
+    semantics minus atomicity.
+    """
+    from pyspark.errors import AnalysisException
+
     if is_table_name(target):
-        df.writeTo(target).createOrReplace() if mode == "overwrite" else df.writeTo(
-            target
-        ).append()
+        try:
+            if mode == "overwrite":
+                df.writeTo(target).createOrReplace()
+            else:
+                df.writeTo(target).append()
+        except AnalysisException:
+            df.write.mode("overwrite" if mode == "overwrite" else "append").saveAsTable(
+                target
+            )
     else:
         df.write.mode(mode).parquet(target)
 

@@ -105,18 +105,61 @@ def test_cosine_topk_vs_bruteforce_oracle(spark):
 
 
 def test_rp_lsh_recall(spark):
+    """Tuned-parameter recall gate: 4 planes x 24 tables measures 0.94
+    on this deterministic fixture — the >=0.9 assertion fails on any
+    regression in banding/bucketing/probing, not just catastrophes."""
     e = _embeddings(spark, n=120, dim=16)
     q = e.filter("vec_id < 10")
     exact = {(r["qid"], r["nid"]) for r in cosine_topk(q, e, k=5).collect()}
     approx = {(r["qid"], r["nid"]) for r in
-              rp_lsh_topk(q, e, dim=16, k=5, n_planes=6, n_tables=12).collect()}
+              rp_lsh_topk(q, e, dim=16, k=5, n_planes=4, n_tables=24).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, recall
+    assert recall >= 0.9, recall
     # determinism across partitionings
     approx2 = {(r["qid"], r["nid"]) for r in
                rp_lsh_topk(q.repartition(3), e.repartition(7), dim=16, k=5,
-                           n_planes=6, n_tables=12).collect()}
+                           n_planes=4, n_tables=24).collect()}
     assert approx == approx2
+
+
+def test_minhash_lsh_vs_bruteforce_ground_truth(spark):
+    """MinHash-LSH dedup against the computable ground truth: brute-force
+    all-pairs token-set jaccard over the deterministic labeled corpus.
+
+    - precision is exact by construction (the verify filter recomputes
+      true jaccard), asserted anyway;
+    - recall must be 1.0 for solid near-dups (true jaccard >= 0.9: the
+      16x4 band miss probability is ~1e-10 per pair);
+    - recall >= 0.95 overall for pairs at the 0.7 threshold (knee
+      ~0.5, so 0.7+ pairs are nearly always banded together).
+    All seeded/content-hashed -> fully deterministic, no flake."""
+    fx = generate_corpus(n_clusters=60, seed=11)
+    pages = corpus_to_spark(spark, fx)["pages"]
+    docs = pages.select(
+        F.col("url").alias("doc_id"), tokenize("text").alias("tokens")
+    )
+    tok = {r["doc_id"]: set(r["tokens"]) for r in docs.collect()}
+    ids = sorted(tok)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = len(tok[a] | tok[b])
+            j = len(tok[a] & tok[b]) / u if u else 0.0
+            if j >= 0.7:
+                truth[(a, b)] = j
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(docs, jaccard_threshold=0.7).collect()
+    }
+    assert truth, "fixture must contain near-dup pairs"
+    # precision: every reported pair is a true >=0.7 pair w/ exact jaccard
+    for p, j in got.items():
+        assert p in truth and abs(j - truth[p]) < 1e-9
+    # recall on solid near-dups is total
+    solid = {p for p, j in truth.items() if j >= 0.9}
+    assert solid <= set(got), sorted(solid - set(got))[:5]
+    # overall recall at the threshold
+    assert len(set(got) & set(truth)) / len(truth) >= 0.95
 
 
 def test_lang_id_and_quality(spark):
@@ -186,9 +229,11 @@ def test_multimodal_features(spark):
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark):
-    """IVF with nprobe=2 over 8 data-row centroids recovers most of the
-    exact top-5 on the embeddings fixture, and every IVF result is a
-    true neighbor with the exact cosine."""
+    """IVF recall gate, tuned on the fixture: the 8 data-row centroids
+    give unbalanced cells, so recall climbs 0.64/0.74/0.83/0.90 at
+    nprobe 2/3/4/5 (all deterministic). Gate at nprobe=5 >= 0.9 so a
+    regression in cell assignment or probing fails the test; a second
+    nprobe=2 bound pins the cheap-probe regime too."""
     from entitymatch_spark.operators.ann import cosine_topk, ivf_topk
 
     e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -197,10 +242,12 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     exact = {(r["qid"], r["nid"]) for r in cosine_topk(q, e, k=5).collect()}
-    approx_rows = ivf_topk(q, e, cents, k=5, nprobe=2).collect()
+    approx_rows = ivf_topk(q, e, cents, k=5, nprobe=5).collect()
     approx = {(r["qid"], r["nid"]) for r in approx_rows}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, recall  # nprobe=2 of 8 cells -> partial recall OK
+    assert recall >= 0.9, recall
+    cheap = {(r["qid"], r["nid"]) for r in ivf_topk(q, e, cents, k=5, nprobe=2).collect()}
+    assert len(exact & cheap) / len(exact) >= 0.6
     # exactness of reranked cosines: spot-check against brute force values
     exact_cos = {(r["qid"], r["nid"]): r["cosine"] for r in cosine_topk(q, e, k=5).collect()}
     for r in approx_rows:

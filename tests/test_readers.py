@@ -22,6 +22,27 @@ def test_pages_parquet_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_table_branch_read_and_write(spark):
+    """Exercise the catalog-table branch of read_pages/write_table (no
+    Iceberg jar in this container, so the read goes through a view and
+    the write through the documented saveAsTable fallback) — the
+    production code path, not dead code."""
+    pages = corpus_to_spark(spark, generate_corpus(n_clusters=3, seed=2))["pages"].drop(
+        "cluster_id", "html"
+    )
+    pages.createOrReplaceTempView("pages_tbl_view")
+    back = read_pages(spark, "pages_tbl_view")  # spark.table(...) branch
+    assert back.count() == pages.count()
+
+    write_table(pages, "default.pages_tbl_rt", mode="overwrite")
+    rt = read_pages(spark, "default.pages_tbl_rt")
+    assert rt.count() == pages.count()
+    assert set(rt.columns) == set(pages.columns)
+    write_table(pages, "default.pages_tbl_rt", mode="append")
+    assert read_pages(spark, "default.pages_tbl_rt").count() == 2 * pages.count()
+    spark.sql("DROP TABLE IF EXISTS default.pages_tbl_rt")
+
+
 def test_is_table_name():
     assert is_table_name("iceberg.web.pages")
     assert not is_table_name("/root/testdata/sf0.01")

@@ -135,6 +135,19 @@ def test_html_to_text_goldens(spark):
         ("<body>x<style>p{}</style>y<!-- z -->w</body>", "xyw"),
         ("<BODY><P CLASS='a'>upper</P></BODY>", "upper"),
         ("&amp;lt;", "&lt;"),  # double-escape survives (amp last)
+        # hostile/truncated markup: unclosed sections drop to EOF
+        # instead of leaking raw script/style bytes into "text"
+        ("<body>seen<script>var y=1;", "seen"),
+        ("<body>kept<style>p{color:red}", "kept"),
+        ("<head><title>cut off page", ""),
+        ("<body>a<!-- unterminated comment", "a"),
+        # nested tags inside removed sections
+        ("<body>u<script>if(a<b){<i>x</i>}</script>v</body>", "uv"),
+        # numeric entities (decimal + hex forms of the named set)
+        ("&#60;tag&#62; &#34;q&#34; &#x27;s&#X27; &#38;", "<tag> \"q\" 's' &"),
+        ("&#160;nb&#xa0;sp", " nb sp"),
+        # words starting with 'head'/'script' are NOT section tags
+        ("<body><heading>hx</heading></body>", "hx"),
     ]
     df = spark.createDataFrame(cases, "html string, want string")
     got = df.select(html_to_text("html").alias("g"), "want").collect()
