@@ -39,7 +39,12 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FULL_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+# N=1 -> 4N=4: every task runs 1 JVM thread + 1 python worker, so the
+# legs hold 2 vs 8 active threads — BOTH inside the box's ~16 physical
+# cores. At N=2 the 4N leg needs 16 active threads and starts measuring
+# SMT/neighbor oversubscription instead of engine scaling (it reads
+# 0.10-0.15 lower for the same code; see BASELINE.md).
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 SCALE_4N = 4 * SCALE_N
 SCALE_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SCALE_CLUSTERS", "1000"))
 # best-of-R per leg: 6 rounds give the interleaved scaling legs enough

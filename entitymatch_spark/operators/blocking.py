@@ -53,6 +53,49 @@ def token_blocking_keys(
     )
 
 
+def minhash_sig_expr(
+    tokens_col: str = "tokens", num_hashes: int = 64, seed: int = 42
+):
+    """MinHash signature as a pure COLUMN EXPRESSION (array<long>, null
+    for empty token sets). Being a per-row expression, it composes into
+    any plan — including Structured Streaming, where the incremental
+    matcher computes it on newly arrived pages with zero state.
+    """
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+    p = F.lit(MERSENNE_31)
+    hashed = F.transform(
+        F.array_distinct(tokens_col), lambda t: F.pmod(F.xxhash64(t), p)
+    )
+    mins = F.array(
+        *[
+            F.array_min(
+                F.transform(hashed, lambda x: F.pmod(x * F.lit(a) + F.lit(b), p))
+            )
+            for (a, b) in coeffs
+        ]
+    )
+    return F.when(F.size(tokens_col) > 0, mins)
+
+
+def lsh_band_keys_expr(
+    sig_col: str = "sig", bands: int = 16, rows_per_band: int = 4
+):
+    """Band-key array (array<string>) from a signature column — one key
+    per band, empty array for a null signature. Column expression form
+    so the streaming path can use it per row."""
+    cols = []
+    for b in range(bands):
+        sl = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+        cols.append(F.concat(F.lit(f"lsh{b}:"), F.xxhash64(sl)))
+    return F.when(
+        F.col(sig_col).isNotNull(), F.array(*cols)
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -64,32 +107,20 @@ def minhash_signature(
 
     sig[i] = min over distinct tokens t of (a_i * (xxhash64(t) mod p) + b_i) mod p
     with p = 2^31 - 1. Computed PER ROW with transform/array_min column
-    expressions — a narrow transformation: zero shuffle, valid in
-    Structured Streaming, and trivially partition-independent. Seeded
-    factors, never time- or partition-dependent -> stable across
-    cluster sizes.
+    expressions (minhash_sig_expr) — a narrow transformation: zero
+    shuffle, valid in Structured Streaming, and trivially partition-
+    independent. Seeded factors, never time- or partition-dependent ->
+    stable across cluster sizes.
 
     Docs with no tokens get no signature row (empty sets match nothing).
     """
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
-        for _ in range(num_hashes)
-    ]
-    p = F.lit(MERSENNE_31)
-    base = df.filter(F.size(tokens_col) > 0).withColumn(
-        "_h",
-        F.transform(
-            F.array_distinct(tokens_col), lambda t: F.pmod(F.xxhash64(t), p)
-        ),
-    )
-    mins = [
-        F.array_min(
-            F.transform(F.col("_h"), lambda x: F.pmod(x * F.lit(a) + F.lit(b), p))
+    return (
+        df.filter(F.size(tokens_col) > 0)
+        .select(
+            F.col(id_col),
+            minhash_sig_expr(tokens_col, num_hashes, seed).alias("sig"),
         )
-        for (a, b) in coeffs
-    ]
-    return base.select(F.col(id_col), F.array(*mins).alias("sig"))
+    )
 
 
 def lsh_band_keys(
@@ -102,12 +133,9 @@ def lsh_band_keys(
     all ``rows_per_band`` signature slots agree. Key = band index +
     xxhash64 of the band slice.
     """
-    cols = []
-    for b in range(bands):
-        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        cols.append(F.concat(F.lit(f"lsh{b}:"), F.xxhash64(sl)))
     return signatures.select(
-        id_col, F.explode(F.array(*cols)).alias("key")
+        id_col,
+        F.explode(lsh_band_keys_expr("sig", bands, rows_per_band)).alias("key"),
     )
 
 

@@ -113,6 +113,29 @@ def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX, default_idf: float = 1e-5):
     return F.pandas_udf(batch, "struct<jw:double,cosine:double,containment:double>")
 
 
+def hydration_side(
+    docs: DataFrame,
+    suffix: str,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    tokens_col: str = "tokens",
+    lev_prefix: int = LEV_PREFIX,
+    jw_prefix: int = JW_PREFIX,
+) -> DataFrame:
+    """Per-DOC precompute for one side of the pair scorer: prefix
+    slices, distinct token set, joined token string (docs << pairs, so
+    anything computable per doc is never recomputed per pair). Public
+    so the streaming matcher can hydrate its stream side directly
+    (stream-side joins back to the stream are not expressible)."""
+    return docs.select(
+        F.col(id_col).alias(f"id_{suffix}"),
+        F.substring(text_col, 1, jw_prefix).alias(f"jwt_{suffix}"),
+        F.substring(text_col, 1, lev_prefix).alias(f"levt_{suffix}"),
+        F.array_join(tokens_col, " ").alias(f"toksj_{suffix}"),
+        F.array_distinct(tokens_col).alias(f"toksd_{suffix}"),
+    )
+
+
 def score_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -142,27 +165,45 @@ def score_pairs(
     plausible tail. Pairs at or above the gate score identically to
     the non-cascaded path.
     """
+    sides = [
+        hydration_side(docs, s, id_col, text_col, tokens_col, lev_prefix, jw_prefix)
+        for s in ("a", "b")
+    ]
+    hydrated = pairs.join(sides[0], "id_a").join(sides[1], "id_b")
+    return score_hydrated(
+        hydrated,
+        idf_map,
+        weights=weights,
+        threshold=threshold,
+        lev_band=lev_band,
+        jw_prefix=jw_prefix,
+        cascade_min_jaccard=cascade_min_jaccard,
+        default_idf=default_idf,
+    )
+
+
+def score_hydrated(
+    hydrated: DataFrame,
+    idf_map: dict[str, float],
+    weights: dict[str, float] | None = None,
+    threshold: float | None = None,
+    lev_band: int | None = LEV_BAND,
+    jw_prefix: int = JW_PREFIX,
+    cascade_min_jaccard: float | None = None,
+    default_idf: float = 1e-5,
+) -> DataFrame:
+    """Feature + blend stage over an already-hydrated pair table
+    (columns jwt_/levt_/toksj_/toksd_ per side — see hydration_side).
+
+    Split out from score_pairs so the STREAMING matcher can reuse the
+    exact batch scorer: every expression here is per-row (narrow), so
+    the same code path is valid in a Structured Streaming plan —
+    batch/stream scoring parity is by construction, not by re-
+    implementation.
+    """
     weights = weights or DEFAULT_WEIGHTS
     spark = SparkSession.getActiveSession()
     idf_bcast = spark.sparkContext.broadcast(idf_map)
-
-    # Per-DOC precompute (docs << pairs): prefix slices, distinct token
-    # set, joined token string. Every per-pair expression below is then
-    # allocation-light — the only per-pair array op left is the
-    # intersect; union size is arithmetic (|A|+|B|-|A∩B|), not a
-    # materialized array_union. This matters for scaling: allocation-
-    # heavy per-pair projections turn into GC pressure that serializes
-    # an executor's task slots.
-    def side(suffix: str):
-        return docs.select(
-            F.col(id_col).alias(f"id_{suffix}"),
-            F.substring(text_col, 1, jw_prefix).alias(f"jwt_{suffix}"),
-            F.substring(text_col, 1, lev_prefix).alias(f"levt_{suffix}"),
-            F.array_join(tokens_col, " ").alias(f"toksj_{suffix}"),
-            F.array_distinct(tokens_col).alias(f"toksd_{suffix}"),
-        )
-
-    hydrated = pairs.join(side("a"), "id_a").join(side("b"), "id_b")
 
     maxlen = F.greatest(F.length("levt_a"), F.length("levt_b"))
     if lev_band is None:

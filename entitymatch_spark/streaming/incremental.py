@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entitymatch_spark.functions.text import normalize_text, tokenize
-from entitymatch_spark.operators.blocking import lsh_band_keys, minhash_signature
+from entitymatch_spark.operators.blocking import (
+    lsh_band_keys,
+    lsh_band_keys_expr,
+    minhash_sig_expr,
+    minhash_signature,
+)
 
 
 def incremental_fingerprints(pages_stream: DataFrame) -> DataFrame:
@@ -51,6 +56,118 @@ def incremental_minhash_keys(
     )
     sigs = minhash_signature(docs, id_col="doc_id", num_hashes=num_hashes, seed=seed)
     return lsh_band_keys(sigs, bands=bands, rows_per_band=rows_per_band, id_col="doc_id")
+
+
+def incremental_match(
+    pages_stream: DataFrame,
+    static_docs: DataFrame,
+    static_keys: DataFrame,
+    idf: DataFrame,
+    idf_map: dict[str, float],
+    min_idf: float = 1.0,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    weights: dict[str, float] | None = None,
+    threshold: float | None = None,
+    default_idf: float = 1e-5,
+    dedup_within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming record linkage: score newly arrived pages against the
+    already-indexed corpus, with the SAME keys and the SAME scorer as
+    the batch pipeline (batch/stream parity by shared code, not by
+    re-implementation).
+
+    Plan (all stream-side steps are stateless/narrow, so the query is a
+    valid append-mode Structured Streaming plan):
+
+      new page -> normalize/tokenize -> hydration cols (prefixes, token
+      set/string — computed ONCE, carried through; a stream cannot be
+      re-joined to itself)
+      -> blocking keys: rare-token keys (broadcast IDF membership;
+         array_distinct + explode is per-row distinct, no stateful
+         dropDuplicates needed since each url arrives once per the
+         source contract) UNION MinHash band keys (minhash_sig_expr is
+         a per-row column expression)
+      -> stream-static equi-join against the PRE-PURGED static key
+         table (block purging needs global key counts, a batch-side
+         property of the index)
+      -> stateful dropDuplicates on (id_a, id_b): a pair is scored at
+         most once per stream lifetime (set dedup_within_watermark and
+         put a watermark on the stream to bound that state in a
+         long-running job)
+      -> b-side hydration join against static docs (stream-static)
+      -> score_hydrated: the batch scorer's feature + blend stage.
+
+    static_docs: (doc_id, norm_text, tokens) of the indexed corpus.
+    static_keys: (doc_id, key) — purged blocking keys of that corpus.
+    idf/idf_map: the index's IDF table (broadcast) and scorer dict.
+
+    Emits (id_a = new url, id_b = indexed doc, features..., score).
+    """
+    from entitymatch_spark.operators.scoring import (
+        JW_PREFIX,
+        LEV_PREFIX,
+        score_hydrated,
+    )
+
+    # the event-time (watermark) column must ride along when bounded
+    # dedup state is requested
+    extra = ["warc_ts"] if dedup_within_watermark and "warc_ts" in pages_stream.columns else []
+    a = pages_stream.select(
+        F.col("url").alias("id_a"),
+        normalize_text("text").alias("_norm"),
+        tokenize("text").alias("_toks"),
+        *extra,
+    )
+    hyd_cols = [
+        F.substring("_norm", 1, JW_PREFIX).alias("jwt_a"),
+        F.substring("_norm", 1, LEV_PREFIX).alias("levt_a"),
+        F.array_join("_toks", " ").alias("toksj_a"),
+        F.array_distinct("_toks").alias("toksd_a"),
+    ]
+    a_hyd = a.select("id_a", *extra, *hyd_cols, "_toks")
+    carry = ["id_a", *extra, "jwt_a", "levt_a", "toksj_a", "toksd_a"]
+
+    rare = idf.filter(F.col("idf") >= min_idf).select("token")
+    tok_keys = (
+        a_hyd.select(*carry, F.explode("toksd_a").alias("token"))
+        .join(F.broadcast(rare), "token")
+        .select(*carry, F.concat(F.lit("tok:"), F.col("token")).alias("key"))
+    )
+    lsh_keys = (
+        a_hyd.withColumn("sig", minhash_sig_expr("_toks", num_hashes, seed))
+        .select(
+            *carry,
+            F.explode(lsh_band_keys_expr("sig", bands, rows_per_band)).alias("key"),
+        )
+    )
+    keys_a = tok_keys.unionByName(lsh_keys)
+
+    cand = (
+        keys_a.join(
+            static_keys.select(F.col("doc_id").alias("id_b"), "key"), "key"
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .drop("key")
+    )
+    if dedup_within_watermark:
+        cand = cand.dropDuplicatesWithinWatermark(["id_a", "id_b"])
+    else:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+
+    from entitymatch_spark.operators.scoring import hydration_side
+
+    b_side = hydration_side(static_docs, "b")
+    hydrated = cand.join(b_side, "id_b")
+    return score_hydrated(
+        hydrated,
+        idf_map,
+        weights=weights,
+        threshold=threshold,
+        default_idf=default_idf,
+    )
 
 
 def streaming_event_counts(

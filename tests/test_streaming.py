@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
 from entitymatch_spark.streaming.incremental import (
     incremental_fingerprints,
+    incremental_match,
     incremental_minhash_keys,
     streaming_event_counts,
 )
@@ -55,6 +56,85 @@ def test_incremental_minhash_keys_match_batch(spark, pages_dir):
     want = {(r["doc_id"], r["key"]) for r in incremental_minhash_keys(pages).collect()}
     assert got == want
     assert len({k for _, k in got}) > 10  # several distinct band keys
+
+
+def test_incremental_match_parity_with_batch(spark, tmp_path):
+    """Streaming record linkage == batch scoring of the same (new x
+    indexed) candidate pairs, value-for-value: the stream path reuses
+    the batch keys and the batch scorer, so scores must agree exactly."""
+    from entitymatch_spark.operators.blocking import (
+        lsh_band_keys, minhash_signature, prune_oversized_blocks,
+        token_blocking_keys,
+    )
+    from entitymatch_spark.operators.posting import (
+        build_posting, collect_idf_map, token_idf,
+    )
+    from entitymatch_spark.operators.scoring import score_pairs
+    from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
+
+    cfg = MatchConfig()
+    fx = generate_corpus(n_clusters=25, seed=33)
+    with_cl = corpus_to_spark(spark, fx)["pages"]
+    # one member of each multi-doc cluster "arrives later" — its
+    # near-dups stay behind in the indexed corpus
+    from pyspark.sql import Window
+
+    multi = with_cl.withColumn(
+        "n", F.count("*").over(Window.partitionBy("cluster_id"))
+    ).filter(F.col("n") >= 2)
+    late = multi.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("cluster_id").orderBy("url"))
+    ).filter(F.col("rn") == 1).select("url").limit(6)
+    pages = with_cl.drop("cluster_id")
+    new = pages.join(late, "url", "left_semi").persist()
+    static_pages = pages.join(new.select("url"), "url", "left_anti")
+
+    docs = prepare_docs(static_pages, cfg).persist()
+    n_docs = docs.count()
+    posting = build_posting(docs)
+    idf = token_idf(posting, n_docs=n_docs)
+    keys = token_blocking_keys(posting, idf, min_idf=cfg.min_idf).unionByName(
+        lsh_band_keys(
+            minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
+            bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+        )
+    )
+    keys = prune_oversized_blocks(keys, cfg.max_block).persist()
+    idf_map = collect_idf_map(idf)
+
+    d = tmp_path / "arrivals"
+    new.write.mode("overwrite").parquet(str(d))
+    stream = spark.readStream.schema(new.schema).parquet(str(d))
+    out = _run_stream(
+        spark,
+        incremental_match(stream, docs, keys, idf, idf_map, seed=cfg.seed),
+        "match_sink",
+    )
+    got = {(r["id_a"], r["id_b"]): round(r["score"], 9) for r in out.collect()}
+
+    # batch oracle: same keys for the new docs, joined to static keys
+    new_docs = prepare_docs(new, cfg)
+    new_posting = build_posting(new_docs)
+    new_keys = token_blocking_keys(new_posting, idf, min_idf=cfg.min_idf).unionByName(
+        lsh_band_keys(
+            minhash_signature(new_docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
+            bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+        )
+    )
+    cand = (
+        new_keys.withColumnRenamed("doc_id", "id_a")
+        .join(keys.select(F.col("doc_id").alias("id_b"), "key"), "key")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    all_docs = docs.unionByName(new_docs)
+    want_rows = score_pairs(cand, all_docs, idf_map).collect()
+    want = {(r["id_a"], r["id_b"]): round(r["score"], 9) for r in want_rows}
+
+    assert got == want
+    assert got, "expected the new docs to match their indexed near-dups"
+    # matched near-dups exist above the default threshold
+    assert any(s >= cfg.threshold for s in got.values())
 
 
 def test_streaming_event_counts(spark, tmp_path):
