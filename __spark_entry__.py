@@ -561,6 +561,16 @@ def q_autocomplete_topl(spark, sf):  # W4 + Trie.cs:277-335 completions
     )
 
 
+def q_embed_hash(spark, sf):  # S6 embedding source stand-in (hashing trick)
+    from entitymatch_spark.operators.embed import hash_embed
+
+    out = hash_embed(_docs(spark, sf), dim=32)
+    return out.select(
+        "doc_id",
+        F.expr("transform(embedding, x -> round(x, 6))").alias("embedding"),
+    )
+
+
 def q_token_rejoin(spark, sf):  # P9 ConcatSubString (Util.cs:112-132)
     d = _docs(spark, sf)
     return d.select(
@@ -796,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_lookup": q_prefix_lookup,
         "autocomplete_topl": q_autocomplete_topl,
         "multi_pattern_any": q_multi_pattern_any,
+        "embed_hash": q_embed_hash,
         "scan_documents": q_scan_documents,
         "scan_dedup": q_scan_dedup,
         "normalize_text": q_normalize_text,
@@ -1225,6 +1236,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT query, token, CAST(distance AS BIGINT) AS distance, df,
                    CAST(rnk AS BIGINT) AS rnk
             FROM rk WHERE rnk <= 5
+        """,
+        # feature-hash embedding: md5-derived slot/sign (portable to
+        # DuckDB), integer slot sums, L2 normalize, round(6) per element
+        "embed_hash": f"""
+            WITH {POS_CTE},
+            s AS (SELECT doc_id,
+                         ('0x' || substr(md5(token), 1, 15))::BIGINT % 32 AS slot,
+                         CASE WHEN ('0x' || substr(md5(token), 16, 1))::BIGINT % 2 = 0
+                              THEN 1.0 ELSE -1.0 END AS sgn
+                  FROM pos),
+            v AS (SELECT doc_id, slot, sum(sgn) AS val FROM s GROUP BY 1, 2),
+            ids AS (SELECT DISTINCT doc_id FROM v),
+            grid AS (SELECT ids.doc_id, gs.j AS slot
+                     FROM ids CROSS JOIN (SELECT unnest(range(0, 32)) AS j) gs),
+            raw AS (SELECT g.doc_id, g.slot, coalesce(v.val, 0.0) AS val
+                    FROM grid g LEFT JOIN v ON v.doc_id = g.doc_id AND v.slot = g.slot),
+            l AS (SELECT doc_id, list(val ORDER BY slot) AS rawv FROM raw GROUP BY doc_id),
+            n AS (SELECT doc_id, rawv,
+                         sqrt(list_aggregate(list_transform(rawv, x -> x * x), 'sum')) AS nrm
+                  FROM l)
+            SELECT doc_id, list_transform(rawv, x -> round(x / nrm, 6)) AS embedding
+            FROM n WHERE nrm > 0
         """,
         "token_rejoin": f"""
             SELECT doc_id,

@@ -81,8 +81,12 @@ def prefix_edit_lookup(
     )
     vx = vocab_prefixes(vocab, token_col)
     d = F.levenshtein(F.col(query_col), F.col("prefix"), max_edit)
+    # BROADCAST the query side: typed prefixes are tiny by nature, and
+    # prefix_len alone has a handful of distinct values — a shuffle join
+    # on it would put the whole vocabulary-prefix table on a few skewed
+    # reducers. Broadcasting keeps the big side partition-local.
     return (
-        qx.join(vx, "prefix_len")
+        vx.join(F.broadcast(qx), "prefix_len")
         .withColumn("distance", d)
         .filter(F.col("distance") >= 0)  # 3-arg levenshtein: -1 = above band
         .select(query_col, token_col, "prefix_len", "distance")

@@ -162,6 +162,42 @@ def test_minhash_lsh_vs_bruteforce_ground_truth(spark):
     assert len(set(got) & set(truth)) / len(truth) >= 0.95
 
 
+def test_hash_embed_properties(spark):
+    """Feature-hash embedding: unit-normalized, deterministic across
+    partitionings, near-dup docs nearly parallel, unrelated docs not;
+    plugs straight into the ANN operators."""
+    import math
+
+    from entitymatch_spark.operators.ann import cosine_topk
+    from entitymatch_spark.operators.embed import hash_embed
+
+    d = _docs(spark)
+    emb = {r["doc_id"]: r["embedding"] for r in hash_embed(d, dim=32).collect()}
+    assert set(emb) == {0, 1, 2, 3, 4}
+    for v in emb.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    assert emb[0] == emb[1] == emb[3]  # same content -> same vector
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(emb[0], emb[2]) > 0.8      # near dup: nearly parallel
+    assert cos(emb[0], emb[4]) < 0.5      # unrelated
+    # determinism across partitionings
+    emb2 = {r["doc_id"]: r["embedding"] for r in
+            hash_embed(d.repartition(4), dim=32).collect()}
+    assert emb == emb2
+    # composes with the ANN path
+    e = hash_embed(d, dim=32).withColumnRenamed("doc_id", "vec_id")
+    top = cosine_topk(e.filter("vec_id = 0"), e, k=2).collect()
+    assert {r["nid"] for r in top} == {1, 3}  # its exact dups rank first
+    # empty-token docs emit no vector
+    empty = spark.createDataFrame(
+        [(9, [])], "doc_id long, tokens array<string>"
+    )
+    assert hash_embed(empty, dim=8).count() == 0
+
+
 def test_lang_id_and_quality(spark):
     rows = [
         (1, "the cat is on the mat and it is happy with the sun".split()),

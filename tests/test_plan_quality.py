@@ -102,6 +102,61 @@ def test_no_rowwise_python_in_any_contract_query(spark):
     assert not offenders, offenders
 
 
+def test_autocomplete_plans(spark):
+    """prefix_edit_lookup must broadcast the (tiny) query side — a
+    shuffle join on prefix_len (a handful of distinct values) would be
+    a skewed scale-killer; and both autocomplete ops must stay JVM-only
+    with a group-limited window for the top-L cut."""
+    from entitymatch_spark.operators.autocomplete import (
+        complete_topl, prefix_edit_lookup,
+    )
+
+    vocab = spark.createDataFrame(
+        [(w,) for w in ["match", "matcher", "watch", "watcher", "hatch"]],
+        "token string",
+    )
+    q = spark.createDataFrame([("matc",)], "query string")
+    plan = _plan(prefix_edit_lookup(q, vocab, max_edit=1))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    plan2 = _plan(complete_topl(q, vocab, max_edit=1, top_l=3))
+    assert "EvalPython" not in plan2
+    assert "WindowGroupLimit" in plan2  # rank-limited, no global sort
+
+
+def test_streaming_match_plan_is_streamable(spark, tmp_path):
+    """incremental_match must build a valid append-mode streaming plan:
+    stream-side ops stateless/narrow, dedup the only stateful op."""
+    from entitymatch_spark.operators.blocking import (
+        lsh_band_keys, minhash_signature, token_blocking_keys,
+    )
+    from entitymatch_spark.operators.posting import (
+        build_posting, collect_idf_map, token_idf,
+    )
+    from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
+    from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+    from entitymatch_spark.streaming.incremental import incremental_match
+
+    cfg = MatchConfig()
+    pages = corpus_to_spark(spark, generate_corpus(n_clusters=5, seed=9))["pages"]
+    docs = prepare_docs(pages, cfg)
+    idf = token_idf(build_posting(docs), n_docs=pages.count())
+    keys = token_blocking_keys(build_posting(docs), idf)
+    d = tmp_path / "p"
+    pages.drop("cluster_id").write.parquet(str(d))
+    stream = spark.readStream.schema(
+        pages.drop("cluster_id").schema
+    ).parquet(str(d))
+    out = incremental_match(stream, docs, keys, idf, collect_idf_map(idf))
+    assert out.isStreaming  # plan validates as a streaming query
+    q = (
+        out.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def test_scorer_uses_banded_levenshtein(spark):
     """The pair scorer's JVM feature must be the 3-arg banded
     levenshtein (O(band*len)), not the unbounded O(len^2) form."""
