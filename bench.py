@@ -7,18 +7,24 @@ Three subprocess legs (one JVM per master):
 
 1. Scaling evidence (BASELINE.json north_rule: N vs 4N): the scoring
    stage of the record-linkage pipeline on an identical deterministic
-   corpus at task-parallelism N=2 vs 4N=8. These are PHYSICAL-core
-   legs: the sandbox's 32 "CPUs" are SMT logical cores (~16 physical,
-   shared with neighbors), so 8->32 logical cannot express a 4x
-   capacity ratio; 2->8 can. Both legs run inside ONE local[8]
+   corpus at task-parallelism N=1 vs 4N=4. Each task holds TWO active
+   threads (JVM + python worker), so these legs occupy 2 vs 8 threads
+   — both inside the box's ~16 physical cores (the sandbox's 32
+   "CPUs" are SMT logical cores, shared with neighbors); at N=2 the
+   4N leg would need 16 threads and measure SMT oversubscription
+   instead of engine scaling. Both legs run inside ONE local[4]
    session with parallelism bounded by the partition count of the
-   cached pair table (2 vs 8 partitions -> 2 vs 8 concurrent tasks,
-   each one JVM thread + one python worker). Rationale: the box is
-   SHARED, so separate per-leg JVMs minutes apart fold time-varying
-   neighbor load into the ratio (observed swing 2.2x-3.1x on
-   identical code); interleaved same-session legs seconds apart with
-   best-of-R per leg measure the capacity ratio, not the weather.
-   Reported: pairs-scored/sec at both + efficiency (tput_4N/tput_N)/4.
+   cached pair table; legs alternate order per round, and the
+   efficiency is computed PER ROUND (both legs seconds apart in the
+   same weather window) with the MEDIAN round as the headline (best
+   round reported alongside; the max alone can over-read when the N
+   leg catches a contention spike). Rationale:
+   the box is SHARED — separate per-leg JVMs minutes apart fold
+   time-varying neighbor load into the ratio (observed swing
+   2.2x-3.1x on identical code), and mixing per-leg bests across
+   rounds under-reads because the 4N leg is ~4x more exposed to
+   contention. Reported: pairs-scored/sec at both + efficiency
+   (t_N/t_4N)/4 of the best round.
 3. Full run at local[$SPARK_GRAFT_CPUS] (default 32): end-to-end
    pipeline on the sf-sized corpus + headline operator queries from
    __spark_entry__ on $SPARK_GRAFT_SF_DIR testdata.
@@ -138,18 +144,35 @@ def _scale_legs(spark, n_clusters: int) -> dict:
         "scaling legs require broadcast doc-side joins; plan was:\n" + plan[:2000]
     )
     best = {SCALE_N: float("inf"), SCALE_4N: float("inf")}
+    rounds = []  # (t_N, t_4N) measured back-to-back in one weather window
     for r in range(max(1, SCALE_REPEATS)):
         # alternate leg order each round so a neighbor-load ramp during a
         # round penalizes both legs symmetrically over the run
         order = (SCALE_N, SCALE_4N) if r % 2 == 0 else (SCALE_4N, SCALE_N)
+        took = {}
         for p in order:
             t0 = time.perf_counter()
             score_pairs(legs[p], docs, idf_map, weights=cfg.weights).write.format(
                 "noop"
             ).mode("overwrite").save()
-            best[p] = min(best[p], time.perf_counter() - t0)
+            took[p] = time.perf_counter() - t0
+            best[p] = min(best[p], took[p])
+        rounds.append((took[SCALE_N], took[SCALE_4N]))
     for df in (docs, keys, *legs.values()):
         df.unpersist()
+    # Efficiency is a RATIO, so it must be computed within one weather
+    # window: a round's two legs run back-to-back seconds apart, and
+    # common-mode neighbor load cancels. Taking best-of-per-leg ACROSS
+    # rounds mixes windows (the 4N leg, holding 4x the threads, is far
+    # more exposed to contention, so its best and N's best rarely come
+    # from the same window and the mixed ratio under-reads: observed
+    # 0.718 per-leg-best vs 0.73-1.01 per-round on one run). The
+    # MEDIAN round is the headline: the max round can over-read when
+    # the N leg alone catches a contention spike (observed 1.012 —
+    # superlinear readings are estimator inflation, not physics).
+    per_round_eff = sorted(tn / t4 / 4.0 for tn, t4 in rounds)
+    eff_median = per_round_eff[len(per_round_eff) // 2]
+    eff_best = per_round_eff[-1]
     return {
         "n_docs": n_docs,
         "n_pairs": n_pairs,
@@ -157,8 +180,10 @@ def _scale_legs(spark, n_clusters: int) -> dict:
         f"score_sec_p{SCALE_4N}": round(best[SCALE_4N], 3),
         f"pairs_per_sec_p{SCALE_N}": round(n_pairs / best[SCALE_N], 1),
         f"pairs_per_sec_p{SCALE_4N}": round(n_pairs / best[SCALE_4N], 1),
-        "speedup": round(best[SCALE_N] / best[SCALE_4N], 3),
-        "efficiency": round(best[SCALE_N] / best[SCALE_4N] / 4.0, 3),
+        "rounds_sec": [(round(a, 3), round(b, 3)) for a, b in rounds],
+        "efficiency_best_round": round(eff_best, 3),
+        "speedup": round(4.0 * eff_median, 3),
+        "efficiency": round(eff_median, 3),
     }
 
 
@@ -313,6 +338,8 @@ def main() -> None:
             f"pairs_per_sec_p{SCALE_4N}": scale[f"pairs_per_sec_p{SCALE_4N}"],
             f"score_sec_p{SCALE_N}": scale[f"score_sec_p{SCALE_N}"],
             f"score_sec_p{SCALE_4N}": scale[f"score_sec_p{SCALE_4N}"],
+            "rounds_sec": scale["rounds_sec"],
+            "efficiency_best_round": scale["efficiency_best_round"],
             "speedup": scale["speedup"],
             "efficiency": scale["efficiency"],
         },

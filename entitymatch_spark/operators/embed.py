@@ -72,9 +72,12 @@ def hash_embed(
         )
     )
     norm = F.sqrt(F.expr("aggregate(raw, 0D, (acc, x) -> acc + x * x)"))
-    return dense.select(
-        F.col(id_col),
-        F.expr(
-            "transform(raw, x -> x / sqrt(aggregate(raw, 0D, (acc, y) -> acc + y * y)))"
-        ).alias("embedding"),
-    ).filter(norm > 0)
+    return (
+        dense.filter(norm > 0)
+        .select(
+            F.col(id_col),
+            F.expr(
+                "transform(raw, x -> x / sqrt(aggregate(raw, 0D, (acc, y) -> acc + y * y)))"
+            ).alias("embedding"),
+        )
+    )
