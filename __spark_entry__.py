@@ -647,6 +647,37 @@ def q_pivot_events(spark, sf):  # pivot as conditional aggregation
     return ev.groupBy("user_id").agg(*aggs)
 
 
+def q_asof_events(spark, sf):  # as-of (most-recent-prior) join via window
+    """Each click event annotated with the user's most recent PRIOR
+    purchase value — the classic as-of join, expressed as an
+    ignore-nulls last_value window over a strict total order (ts,
+    event_id), no self-join needed."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pval = F.when(F.col("event_type") == "purchase", F.col("value"))
+    out = ev.withColumn("prior_purchase", F.last(pval, ignorenulls=True).over(w))
+    return (
+        out.filter(F.col("event_type") == "click")
+        .select(
+            "user_id", "event_id",
+            F.round("prior_purchase", 4).alias("prior_purchase"),
+        )
+    )
+
+
+def q_cube_events(spark, sf):  # grouping-sets breadth: CUBE over 2 dims
+    ev = _t(spark, sf, "events").withColumn("hi_value", F.col("value") >= 50)
+    return ev.cube("event_type", "hi_value").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+
+
 def q_agg_lineitem(spark, sf):  # relational agg baseline (TPC-H Q1 shape)
     li = _t(spark, sf, "lineitem")
     return (
@@ -807,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete_topl": q_autocomplete_topl,
         "multi_pattern_any": q_multi_pattern_any,
         "embed_hash": q_embed_hash,
+        "asof_events": q_asof_events,
+        "cube_events": q_cube_events,
         "scan_documents": q_scan_documents,
         "scan_dedup": q_scan_dedup,
         "normalize_text": q_normalize_text,
@@ -1281,6 +1314,23 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": """
             SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
             FROM events GROUP BY ROLLUP (event_type)
+        """,
+        "asof_events": """
+            WITH a AS (
+              SELECT user_id, event_id, event_type,
+                     last_value(CASE WHEN event_type = 'purchase' THEN value END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior_purchase
+              FROM events)
+            SELECT user_id, event_id, round(prior_purchase, 4) AS prior_purchase
+            FROM a WHERE event_type = 'click'
+        """,
+        "cube_events": """
+            SELECT event_type, value >= 50 AS hi_value, count(*) AS n,
+                   round(sum(value), 4) AS total
+            FROM events GROUP BY CUBE (event_type, hi_value)
         """,
         "sessionize_events": """
             WITH g AS (
