@@ -707,6 +707,23 @@ def q_dedup_minhash_lsh(spark, sf):
     return candidate_pairs(keys, max_block=32).select("id_a", "id_b", "n_keys")
 
 
+def q_dedup_minhash_oracle(spark, sf):
+    """MinHash-LSH blocking in the PORTABLE hash variant: md5-derived
+    token hashes (md5_token_hash) and textually concatenated band keys,
+    so DuckDB reproduces signatures, band keys, block purging, and the
+    pair join bit-for-bit — a FULL value oracle for the LSH blocking
+    path (the xxhash64 production variant above stays rows-only and
+    keeps the compact shuffle keys)."""
+    from entitymatch_spark.operators.blocking import (
+        candidate_pairs, lsh_band_keys, minhash_signature,
+    )
+
+    d = _docs(spark, sf)
+    sigs = minhash_signature(d, num_hashes=16, token_hash="md5")
+    keys = lsh_band_keys(sigs, bands=4, rows_per_band=4, band_hash="concat").persist()
+    return candidate_pairs(keys, max_block=32).select("id_a", "id_b", "n_keys")
+
+
 def q_dedup_simhash(spark, sf):
     from entitymatch_spark.operators.dedup import simhash_dedup_pairs
 
@@ -840,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_hash": q_embed_hash,
         "asof_events": q_asof_events,
         "cube_events": q_cube_events,
+        "dedup_minhash_oracle": q_dedup_minhash_oracle,
         "scan_documents": q_scan_documents,
         "scan_dedup": q_scan_dedup,
         "normalize_text": q_normalize_text,
@@ -897,7 +915,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from entitymatch_spark.operators.blocking import minhash_coeffs
+
     syn_values = ", ".join(f"('{a}', '{b}', {w})" for a, b, w in SYNONYMS)
+    mh_coeffs = minhash_coeffs(num_hashes=16, seed=42)
+    mh_sig_cols = ", ".join(
+        f"min((hv * {a} + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(mh_coeffs)
+    )
+    mh_band_selects = " UNION ALL ".join(
+        "SELECT doc_id, 'lsh{b}:' || {expr} AS key FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(f"s{4 * b + r}" for r in range(4)),
+        )
+        for b in range(4)
+    )
     stops_list = ", ".join(f"'{s}'" for s in EN_STOPS)
     extend_spans_sql = f"""
             WITH {POS_CTE}, {IDF_CTE},
@@ -1269,6 +1301,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT query, token, CAST(distance AS BIGINT) AS distance, df,
                    CAST(rnk AS BIGINT) AS rnk
             FROM rk WHERE rnk <= 5
+        """,
+        # MinHash-LSH, portable variant: md5 60-bit token hash mod
+        # 2^31-1, seeded linear permutations, 4x4 concat band keys,
+        # block purge <=32, pair self-join — the whole LSH blocking
+        # path value-checked end-to-end
+        "dedup_minhash_oracle": f"""
+            WITH toks AS (SELECT doc_id, list_distinct({TOKS}) AS ts
+                          FROM documents WHERE len({TOKS}) > 0),
+            tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hv
+                  FROM tok),
+            sig AS (SELECT doc_id, {mh_sig_cols} FROM h GROUP BY doc_id),
+            keys AS ({mh_band_selects}),
+            ok AS (SELECT key FROM keys GROUP BY key HAVING count(*) <= 32),
+            kk AS (SELECT k.doc_id, k.key FROM keys k JOIN ok USING (key)),
+            cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_keys
+                     FROM kk a JOIN kk b USING (key)
+                     WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b, n_keys FROM cand
         """,
         # feature-hash embedding: md5-derived slot/sign (portable to
         # DuckDB), integer slot sums, L2 normalize, round(6) per element

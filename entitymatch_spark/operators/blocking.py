@@ -53,23 +53,50 @@ def token_blocking_keys(
     )
 
 
+def minhash_coeffs(num_hashes: int = 64, seed: int = 42) -> list[tuple[int, int]]:
+    """The seeded permutation coefficients — exposed so an external
+    oracle (e.g. the DuckDB contract SQL) can reproduce signatures."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+def md5_token_hash(t) -> "F.Column":
+    """60-bit token hash from the md5 hex prefix, mod 2^31-1 — exactly
+    reproducible in any engine with md5 (DuckDB: ('0x'||substr(md5(t),
+    1,15))::BIGINT). The xxhash64 default is faster; this portable
+    variant exists so the MinHash-LSH path can be value-checked by a
+    relational oracle end-to-end."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        F.lit(MERSENNE_31),
+    )
+
+
 def minhash_sig_expr(
-    tokens_col: str = "tokens", num_hashes: int = 64, seed: int = 42
+    tokens_col: str = "tokens",
+    num_hashes: int = 64,
+    seed: int = 42,
+    token_hash: str = "xxhash64",
 ):
     """MinHash signature as a pure COLUMN EXPRESSION (array<long>, null
     for empty token sets). Being a per-row expression, it composes into
     any plan — including Structured Streaming, where the incremental
     matcher computes it on newly arrived pages with zero state.
+
+    token_hash: 'xxhash64' (default, fastest) or 'md5' (portable —
+    bit-for-bit reproducible by the DuckDB oracle, see md5_token_hash).
     """
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
-        for _ in range(num_hashes)
-    ]
+    coeffs = minhash_coeffs(num_hashes, seed)
     p = F.lit(MERSENNE_31)
-    hashed = F.transform(
-        F.array_distinct(tokens_col), lambda t: F.pmod(F.xxhash64(t), p)
-    )
+    if token_hash == "md5":
+        hashed = F.transform(F.array_distinct(tokens_col), md5_token_hash)
+    else:
+        hashed = F.transform(
+            F.array_distinct(tokens_col), lambda t: F.pmod(F.xxhash64(t), p)
+        )
     mins = F.array(
         *[
             F.array_min(
@@ -82,15 +109,33 @@ def minhash_sig_expr(
 
 
 def lsh_band_keys_expr(
-    sig_col: str = "sig", bands: int = 16, rows_per_band: int = 4
+    sig_col: str = "sig",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    band_hash: str = "xxhash64",
 ):
     """Band-key array (array<string>) from a signature column — one key
     per band, empty array for a null signature. Column expression form
-    so the streaming path can use it per row."""
+    so the streaming path can use it per row.
+
+    band_hash: 'xxhash64' folds each band slice to one long (compact
+    shuffle keys); 'concat' joins the slice values textually — longer
+    keys, but exactly reproducible by a relational oracle.
+    """
     cols = []
     for b in range(bands):
         sl = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
-        cols.append(F.concat(F.lit(f"lsh{b}:"), F.xxhash64(sl)))
+        if band_hash == "concat":
+            cols.append(
+                F.concat(
+                    F.lit(f"lsh{b}:"),
+                    F.array_join(
+                        F.transform(sl, lambda x: x.cast("string")), ","
+                    ),
+                )
+            )
+        else:
+            cols.append(F.concat(F.lit(f"lsh{b}:"), F.xxhash64(sl)))
     return F.when(
         F.col(sig_col).isNotNull(), F.array(*cols)
     ).otherwise(F.array().cast("array<string>"))
@@ -102,6 +147,7 @@ def minhash_signature(
     tokens_col: str = "tokens",
     num_hashes: int = 64,
     seed: int = 42,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>): deterministic MinHash over the token *set*.
 
@@ -118,7 +164,7 @@ def minhash_signature(
         df.filter(F.size(tokens_col) > 0)
         .select(
             F.col(id_col),
-            minhash_sig_expr(tokens_col, num_hashes, seed).alias("sig"),
+            minhash_sig_expr(tokens_col, num_hashes, seed, token_hash).alias("sig"),
         )
     )
 
@@ -128,14 +174,17 @@ def lsh_band_keys(
     bands: int = 16,
     rows_per_band: int = 4,
     id_col: str = "doc_id",
+    band_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, key): one key per signature band — docs collide on a band iff
     all ``rows_per_band`` signature slots agree. Key = band index +
-    xxhash64 of the band slice.
+    a fold of the band slice (see lsh_band_keys_expr band_hash).
     """
     return signatures.select(
         id_col,
-        F.explode(lsh_band_keys_expr("sig", bands, rows_per_band)).alias("key"),
+        F.explode(
+            lsh_band_keys_expr("sig", bands, rows_per_band, band_hash)
+        ).alias("key"),
     )
 
 

@@ -162,6 +162,28 @@ def test_minhash_lsh_vs_bruteforce_ground_truth(spark):
     assert len(set(got) & set(truth)) / len(truth) >= 0.95
 
 
+def test_minhash_md5_variant(spark):
+    """The portable (md5 token hash, concat band key) MinHash variant:
+    same collision structure as the production xxhash64 variant —
+    identical docs share every band key, unrelated docs share none —
+    and deterministic across partitionings."""
+    from entitymatch_spark.operators.blocking import lsh_band_keys, minhash_signature
+
+    d = _docs(spark)
+    sigs = minhash_signature(d, num_hashes=16, token_hash="md5")
+    keys = lsh_band_keys(sigs, bands=4, rows_per_band=4, band_hash="concat")
+    by_doc = {}
+    for r in keys.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["key"])
+    assert by_doc[0] == by_doc[1] == by_doc[3]       # identical content
+    assert len(by_doc[0]) == 4
+    assert not (by_doc[0] & by_doc[4])               # unrelated
+    assert by_doc[0] & by_doc[2]                     # near dup: >=1 band
+    sigs2 = {tuple(r["sig"]) for r in
+             minhash_signature(d.repartition(5), num_hashes=16, token_hash="md5").collect()}
+    assert sigs2 == {tuple(r["sig"]) for r in sigs.collect()}
+
+
 def test_hash_embed_properties(spark):
     """Feature-hash embedding: unit-normalized, deterministic across
     partitionings, near-dup docs nearly parallel, unrelated docs not;
