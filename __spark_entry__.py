@@ -730,6 +730,16 @@ def q_dedup_simhash(spark, sf):
     return simhash_dedup_pairs(_docs(spark, sf), max_hamming=12)
 
 
+def q_dedup_simhash_oracle(spark, sf):
+    """SimHash dedup in the PORTABLE bit source (md5 hex chunks), so
+    DuckDB reproduces signatures, 4x16 band keys, purge, and the
+    hamming verify bit-for-bit — a full value oracle for the SimHash
+    path (the packed xxhash64 production variant stays rows-only)."""
+    from entitymatch_spark.operators.dedup import simhash_md5_dedup_pairs
+
+    return simhash_md5_dedup_pairs(_docs(spark, sf), max_hamming=12)
+
+
 def q_winnowing_fingerprints(spark, sf):
     from entitymatch_spark.operators.textstats import winnowing_fingerprints
 
@@ -742,6 +752,20 @@ def q_ann_lsh_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     out = rp_lsh_topk(q, e, dim=64, k=5, n_planes=8, n_tables=8)
+    return out.select("qid", "nid", F.round("cosine", 4).alias("cosine"), "rnk")
+
+
+def q_ann_lsh_oracle(spark, sf):
+    """Random-hyperplane ANN in the PORTABLE variant: md5-derived
+    integer plane components, relational explode-join-agg dot products,
+    sign-bit bucket keys — DuckDB reproduces buckets, candidates, and
+    the exact rerank, value-checking the ANN LSH path end-to-end (the
+    gaussian/numpy production variant above stays rows-only)."""
+    from entitymatch_spark.operators.ann import rp_lsh_md5_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = rp_lsh_md5_topk(q, e, dim=64, k=5, n_planes=8, n_tables=8)
     return out.select("qid", "nid", F.round("cosine", 4).alias("cosine"), "rnk")
 
 
@@ -858,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "cube_events": q_cube_events,
         "dedup_minhash_oracle": q_dedup_minhash_oracle,
+        "dedup_simhash_oracle": q_dedup_simhash_oracle,
+        "ann_lsh_oracle": q_ann_lsh_oracle,
         "scan_documents": q_scan_documents,
         "scan_dedup": q_scan_dedup,
         "normalize_text": q_normalize_text,
@@ -1123,6 +1149,40 @@ def oracle_sql() -> dict[str, str]:
                    FROM p)
             SELECT qid, nid, round(c, 4) AS cosine, rnk FROM rk WHERE rnk <= 5
         """,
+        # RP-LSH ANN, portable variant: md5-integer hyperplanes,
+        # relational dot products, sign-bit buckets, exact rerank
+        "ann_lsh_oracle": """
+            WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            grid AS (SELECT tt.t, pp.p, dd.d
+                     FROM (SELECT unnest(range(0, 8)) AS t) tt
+                     CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pp
+                     CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd),
+            planes AS (SELECT t, p, d,
+                              ('0x' || substr(md5('rp:' || CAST(t AS VARCHAR) || ':'
+                                   || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+                               % 2001 - 1000 AS w
+                       FROM grid),
+            comps AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS d, unnest(e) AS x FROM n),
+            dots AS (SELECT c.vec_id, pl.t, pl.p, sum(c.x * pl.w) AS dot
+                     FROM comps c JOIN planes pl USING (d) GROUP BY 1, 2, 3),
+            bk AS (SELECT vec_id, t,
+                          string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+                                     ORDER BY p) AS bs
+                   FROM dots GROUP BY 1, 2),
+            keys AS (SELECT vec_id, CAST(t AS VARCHAR) || ':' || bs AS key FROM bk),
+            cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+                     FROM keys q JOIN keys c USING (key)
+                     WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+            scored AS (SELECT cd.qid, cd.nid, list_cosine_similarity(a.e, b.e) AS cos
+                       FROM cand cd JOIN n a ON a.vec_id = cd.qid
+                       JOIN n b ON b.vec_id = cd.nid),
+            rk AS (SELECT qid, nid, cos,
+                          row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, nid ASC) AS rnk
+                   FROM scored)
+            SELECT qid, nid, round(cos, 4) AS cosine, CAST(rnk AS BIGINT) AS rnk
+            FROM rk WHERE rnk <= 5
+        """,
         "ann_ivf_topk": """
             WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             cents AS (SELECT vec_id AS cent_id, e AS cv FROM n WHERE vec_id < 8),
@@ -1321,6 +1381,44 @@ def oracle_sql() -> dict[str, str]:
                      FROM kk a JOIN kk b USING (key)
                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
             SELECT id_a, id_b, n_keys FROM cand
+        """,
+        # SimHash, portable variant: md5 bit source, signed tf sums per
+        # bit, 4x16-bit band blocking, hamming verify — the whole
+        # SimHash dedup path value-checked end-to-end
+        "dedup_simhash_oracle": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents
+                          WHERE len({TOKS}) > 0),
+            tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            hh AS (SELECT doc_id, tf,
+                          ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+                          ('0x' || substr(md5(token), 17, 15))::BIGINT AS h2
+                   FROM tf),
+            bi AS (SELECT doc_id, g.i,
+                          sum(tf * (2 * (CASE WHEN g.i < 32 THEN (h1 >> g.i) & 1
+                                              ELSE (h2 >> (g.i - 32)) & 1 END) - 1)) AS s
+                   FROM hh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+                   GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                                      ORDER BY i) AS bs
+                    FROM bi GROUP BY doc_id),
+            keys AS (SELECT doc_id,
+                            'sh' || kb.k || ':' || substr(bs, CAST(kb.k * 16 + 1 AS INT), 16) AS key
+                     FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS k) kb),
+            ok AS (SELECT key FROM keys GROUP BY key HAVING count(*) <= 256),
+            kk AS (SELECT k.doc_id, k.key FROM keys k JOIN ok USING (key)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM kk a JOIN kk b USING (key)
+                     WHERE a.doc_id < b.doc_id),
+            ham AS (SELECT c.id_a, c.id_b,
+                           (SELECT count(*) FROM range(1, 65) r(p)
+                            WHERE substr(sa.bs, CAST(p AS INT), 1)
+                                  != substr(sb.bs, CAST(p AS INT), 1)) AS hamming
+                    FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                    JOIN sig sb ON sb.doc_id = c.id_b)
+            SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+            FROM ham WHERE hamming <= 12
         """,
         # feature-hash embedding: md5-derived slot/sign (portable to
         # DuckDB), integer slot sums, L2 normalize, round(6) per element

@@ -125,6 +125,110 @@ def rp_lsh_topk(
     )
 
 
+def rp_md5_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, key): random-hyperplane buckets in the PORTABLE variant —
+    plane components are md5-derived integers in [-1000, 1000]
+    (w(t,p,d) = md5_60bit('rp:t:p:d') mod 2001 - 1000), dot products
+    are a relational explode-join-agg, bucket key = table id + ordered
+    sign-bit string. Every step is reproducible in DuckDB, so the ANN
+    LSH path can be value-checked end-to-end (the production variant
+    keeps seeded gaussian planes + one numpy matmul per Arrow batch —
+    faster, but no relational equivalent).
+    """
+    one = df.sparkSession.range(1)
+    planes = (
+        one.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t")
+        )
+        .select("t", F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"))
+        .select("t", "p", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("d"))
+        .withColumn(
+            "w",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit("rp"), "t", "p", "d")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2001),
+            )
+            - 1000,
+        )
+    )
+    comps = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "d")
+        .groupBy(id_col, "t", "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    bits = dots.withColumn("b", (F.col("dot") > 0).cast("int"))
+    return (
+        bits.groupBy(id_col, "t")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "b"))),
+                    lambda s: s["b"].cast("string"),
+                ),
+                "",
+            ).alias("bs")
+        )
+        .select(
+            F.col(id_col),
+            F.concat(F.col("t").cast("string"), F.lit(":"), F.col("bs")).alias("key"),
+        )
+    )
+
+
+def rp_lsh_md5_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """rp_lsh_topk semantics over the portable md5-plane buckets —
+    bucket-join candidates, exact cosine rerank, deterministic ties."""
+    qb = rp_md5_buckets(queries, dim, n_planes, n_tables, id_col, vec_col)
+    cb = rp_md5_buckets(corpus, dim, n_planes, n_tables, id_col, vec_col)
+    cand = (
+        qb.select(F.col(id_col).alias("qid"), "key")
+        .join(cb.select(F.col(id_col).alias("nid"), "key"), "key")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("ea")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("eb")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.join(q, "qid").join(c, "nid")
+        .withColumn("cosine", cosine_expr("ea", "eb"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

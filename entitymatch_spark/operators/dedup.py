@@ -105,6 +105,92 @@ def simhash_signature(
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_bits_md5(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(id, bits array<int>, bitstr string): 64-bit SimHash in the
+    PORTABLE bit source — bit i of a token comes from two 60-bit md5
+    hex chunks ((h1 >> i) & 1 for i < 32, (h2 >> (i-32)) & 1 above) —
+    so a relational oracle (DuckDB) reproduces signatures exactly.
+
+    Shape: posting x 64 bit-index rows -> signed tf sums -> per-doc
+    ordered bit string. Heavier than the packed 64-column aggregate of
+    simhash_signature (posting read fans out x64), so production uses
+    the xxhash64 variant; this one exists to value-check the SimHash
+    banding/verification path end-to-end.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    h = F.md5(F.col("token"))
+    hh = tf.withColumn(
+        "h1", F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    ).withColumn("h2", F.conv(F.substring(h, 17, 15), 16, 10).cast("long"))
+    bit = F.expr(
+        "CASE WHEN i < 32 THEN shiftright(h1, i) & 1 "
+        "ELSE shiftright(h2, i - 32) & 1 END"
+    )
+    per_bit = (
+        hh.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(63))))
+        .withColumn("contrib", F.col("tf") * (2 * bit - 1))
+        .groupBy(id_col, "i")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("b", (F.col("s") > 0).cast("int"))
+    )
+    return (
+        per_bit.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "b"))),
+                lambda s: s["b"],
+            ).alias("bits")
+        )
+        .withColumn(
+            "bitstr",
+            F.array_join(
+                F.transform("bits", lambda b: b.cast("string")), ""
+            ),
+        )
+    )
+
+
+def simhash_md5_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_hamming: int = 12,
+    max_block: int = 256,
+) -> DataFrame:
+    """simhash_dedup_pairs semantics over the portable md5 bit source:
+    4x16-bit band blocking (keys = bitstr slices), hamming verify over
+    the bit arrays. Value-checked against the DuckDB oracle."""
+    sigs = simhash_bits_md5(docs, id_col, tokens_col)
+    bands = F.array(
+        *[
+            F.concat(F.lit(f"sh{k}:"), F.substring("bitstr", k * 16 + 1, 16))
+            for k in range(4)
+        ]
+    )
+    keys = sigs.select(F.col(id_col), F.explode(bands).alias("key"))
+    pairs = candidate_pairs(keys, max_block=max_block, id_col=id_col).select(
+        "id_a", "id_b"
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("bits").alias("ba"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("bits").alias("bb"))
+    ham = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_dedup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

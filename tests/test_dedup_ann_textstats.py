@@ -220,6 +220,35 @@ def test_hash_embed_properties(spark):
     assert hash_embed(empty, dim=8).count() == 0
 
 
+def test_rp_lsh_md5_variant_recall(spark):
+    """The portable md5-plane ANN variant is still a working LSH: decent
+    recall vs brute force on the fixture and deterministic across
+    partitionings."""
+    from entitymatch_spark.operators.ann import rp_lsh_md5_topk
+
+    e = _embeddings(spark, n=120, dim=16)
+    q = e.filter("vec_id < 10")
+    exact = {(r["qid"], r["nid"]) for r in cosine_topk(q, e, k=5).collect()}
+    approx = {(r["qid"], r["nid"]) for r in
+              rp_lsh_md5_topk(q, e, dim=16, k=5, n_planes=4, n_tables=24).collect()}
+    assert len(exact & approx) / len(exact) >= 0.85
+    approx2 = {(r["qid"], r["nid"]) for r in
+               rp_lsh_md5_topk(q.repartition(3), e.repartition(5), dim=16, k=5,
+                               n_planes=4, n_tables=24).collect()}
+    assert approx == approx2
+
+
+def test_simhash_md5_variant(spark):
+    """Portable SimHash: same dup structure as the packed variant."""
+    from entitymatch_spark.operators.dedup import simhash_md5_dedup_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_md5_dedup_pairs(_docs(spark), max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 3)] == 0
+    assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 16
+    assert all(4 not in p for p in pairs)
+
+
 def test_lang_id_and_quality(spark):
     rows = [
         (1, "the cat is on the mat and it is happy with the sun".split()),
