@@ -69,6 +69,61 @@ SYNONYMS = [
 ]
 
 
+def _match_oracle(keys_sql: str) -> str:
+    """Full-pipeline DuckDB oracle, parameterized by the blocking-key
+    CTE (must define ``keys(doc_id, key)``; pos/idf CTEs are in scope).
+    Shared by the token-only and token∪LSH pipeline variants — the
+    purge / pair join / 5-feature scoring / threshold / recursive
+    transitive closure body is identical."""
+    return f"""
+        WITH RECURSIVE {POS_CTE.strip().rstrip()}, {IDF_CTE.strip()},
+        {keys_sql},
+        okk AS (SELECT key FROM keys GROUP BY key HAVING count(*) <= 64),
+        kept AS (SELECT k.doc_id, k.key FROM keys k JOIN okk USING (key)),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM kept a JOIN kept b USING (key)
+                 WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        d AS (SELECT doc_id, {NORM} AS norm, {TOKS} AS tk FROM documents),
+        w AS (SELECT p.doc_id, p.token, count(*) AS cnt,
+                     count(*) * any_value(i.idf) AS w, any_value(i.idf) AS idf
+              FROM pos p JOIN idf i USING (token) GROUP BY p.doc_id, p.token),
+        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm, sum(w) AS total
+                FROM w GROUP BY 1),
+        shr AS (SELECT c.id_a, c.id_b, sum(x.w * y.w) AS dot,
+                       sum(least(x.cnt, y.cnt) * x.idf) AS sh
+                FROM cand c JOIN w x ON x.doc_id = c.id_a
+                JOIN w y ON y.doc_id = c.id_b AND y.token = x.token
+                GROUP BY 1, 2),
+        feat AS (SELECT c.id_a, c.id_b,
+            coalesce(s.dot, 0.0) / (na.nrm * nb.nrm) AS cosine,
+            coalesce(s.sh, 0.0) / least(na.total, nb.total) AS containment,
+            CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) = 0 THEN 0.0
+                 ELSE len(list_intersect(list_distinct(a.tk), list_distinct(b.tk)))
+                      / len(list_distinct(list_concat(a.tk, b.tk))) END AS jaccard,
+            CASE WHEN greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) = 0 THEN 1.0
+                 WHEN levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128)) > 32 THEN 0.0
+                 ELSE 1.0 - levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128))
+                      / greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) END AS lev_sim,
+            jaro_winkler_similarity(substr(a.norm, 1, 256), substr(b.norm, 1, 256)) AS jw
+          FROM cand c JOIN d a ON a.doc_id = c.id_a JOIN d b ON b.doc_id = c.id_b
+          LEFT JOIN shr s ON s.id_a = c.id_a AND s.id_b = c.id_b
+          JOIN nrm na ON na.doc_id = c.id_a JOIN nrm nb ON nb.doc_id = c.id_b),
+        m AS (SELECT id_a, id_b FROM feat
+              WHERE 0.35 * cosine + 0.20 * jw + 0.15 * lev_sim
+                    + 0.15 * jaccard + 0.15 * containment >= 0.60),
+        bidir AS (SELECT id_a AS u, id_b AS v FROM m
+                  UNION SELECT id_b, id_a FROM m),
+        reach(u, v) AS (SELECT u, v FROM bidir
+                        UNION
+                        SELECT r.u, e.v FROM reach r JOIN bidir e ON r.v = e.u),
+        comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                 FROM reach GROUP BY u)
+        SELECT doc.doc_id AS url_id,
+               coalesce(c.cluster_id, doc.doc_id) AS cluster_id
+        FROM documents doc LEFT JOIN comp c USING (doc_id)
+    """
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -848,6 +903,31 @@ def q_match_clusters_token(spark, sf):
     )
 
 
+def q_match_clusters_lsh(spark, sf):
+    """The FULL flagship pipeline WITH MinHash-LSH blocking, in the
+    portable hash variant (md5 token hash, concat band keys, 16
+    hashes / 4x4 bands): token keys ∪ LSH band keys -> purge ->
+    pairs -> 5-feature blended scoring -> threshold -> transitive
+    closure, every stage reproduced by the DuckDB oracle — the
+    complete north-star pipeline value-checked end-to-end including
+    the LSH leg (match_clusters above keeps the production xxhash64
+    LSH and stays rows-only)."""
+    from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
+
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    cfg = MatchConfig(
+        use_lsh=True, cache=False, id_col="url", text_col="text",
+        num_hashes=16, bands=4, rows_per_band=4,
+        minhash_token_hash="md5", lsh_band_hash="concat",
+    )
+    res = match_pipeline(pages, cfg)
+    return res.clusters.select(
+        F.col("doc_id").alias("url_id"), F.col("cluster_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: end-to-end record linkage on sf0.001 documents."""
     from entitymatch_spark.session import ensure_workers_can_import
@@ -872,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # blocking->scoring->clustering pipeline is the whole point of
         # the engine and must always get a CORRECTNESS row.
         "match_clusters_token": q_match_clusters_token,
+        "match_clusters_lsh": q_match_clusters_lsh,
         "match_clusters": q_match_clusters,
         # round-2 additions + the round-1 red row next (they need rows):
         "sessionize_events": q_sessionize_events,
@@ -1521,58 +1602,28 @@ def oracle_sql() -> dict[str, str]:
                    'stubbed' AS decode_status
             FROM ex
         """,
-        # Full pipeline with token-only blocking: every stage (IDF floor
-        # keys -> block purge -> pairs -> 5-feature blended score ->
-        # threshold -> transitive closure) in one DuckDB query; the
-        # connected components come from a recursive reachability CTE.
-        "match_clusters_token": f"""
-            WITH RECURSIVE {POS_CTE.strip().rstrip()}, {IDF_CTE.strip()},
-            keys AS (SELECT DISTINCT p.doc_id, p.token
-                     FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0),
-            okk AS (SELECT token FROM keys GROUP BY token HAVING count(*) <= 64),
-            kept AS (SELECT k.doc_id, k.token FROM keys k JOIN okk USING (token)),
-            cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                     FROM kept a JOIN kept b USING (token)
-                     WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-            d AS (SELECT doc_id, {NORM} AS norm, {TOKS} AS tk FROM documents),
-            w AS (SELECT p.doc_id, p.token, count(*) AS cnt,
-                         count(*) * any_value(i.idf) AS w, any_value(i.idf) AS idf
-                  FROM pos p JOIN idf i USING (token) GROUP BY p.doc_id, p.token),
-            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm, sum(w) AS total
-                    FROM w GROUP BY 1),
-            shr AS (SELECT c.id_a, c.id_b, sum(x.w * y.w) AS dot,
-                           sum(least(x.cnt, y.cnt) * x.idf) AS sh
-                    FROM cand c JOIN w x ON x.doc_id = c.id_a
-                    JOIN w y ON y.doc_id = c.id_b AND y.token = x.token
-                    GROUP BY 1, 2),
-            feat AS (SELECT c.id_a, c.id_b,
-                coalesce(s.dot, 0.0) / (na.nrm * nb.nrm) AS cosine,
-                coalesce(s.sh, 0.0) / least(na.total, nb.total) AS containment,
-                CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) = 0 THEN 0.0
-                     ELSE len(list_intersect(list_distinct(a.tk), list_distinct(b.tk)))
-                          / len(list_distinct(list_concat(a.tk, b.tk))) END AS jaccard,
-                CASE WHEN greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) = 0 THEN 1.0
-                     WHEN levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128)) > 32 THEN 0.0
-                     ELSE 1.0 - levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128))
-                          / greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) END AS lev_sim,
-                jaro_winkler_similarity(substr(a.norm, 1, 256), substr(b.norm, 1, 256)) AS jw
-              FROM cand c JOIN d a ON a.doc_id = c.id_a JOIN d b ON b.doc_id = c.id_b
-              LEFT JOIN shr s ON s.id_a = c.id_a AND s.id_b = c.id_b
-              JOIN nrm na ON na.doc_id = c.id_a JOIN nrm nb ON nb.doc_id = c.id_b),
-            m AS (SELECT id_a, id_b FROM feat
-                  WHERE 0.35 * cosine + 0.20 * jw + 0.15 * lev_sim
-                        + 0.15 * jaccard + 0.15 * containment >= 0.60),
-            bidir AS (SELECT id_a AS u, id_b AS v FROM m
-                      UNION SELECT id_b, id_a FROM m),
-            reach(u, v) AS (SELECT u, v FROM bidir
-                            UNION
-                            SELECT r.u, e.v FROM reach r JOIN bidir e ON r.v = e.u),
-            comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-                     FROM reach GROUP BY u)
-            SELECT doc.doc_id AS url_id,
-                   coalesce(c.cluster_id, doc.doc_id) AS cluster_id
-            FROM documents doc LEFT JOIN comp c USING (doc_id)
-        """,
+        # Full pipeline oracles: every stage (blocking keys -> block
+        # purge -> pairs -> 5-feature blended score -> threshold ->
+        # transitive closure) in one DuckDB query; the connected
+        # components come from a recursive reachability CTE. The
+        # token-only and token∪LSH variants share the body and differ
+        # only in the `keys` CTE (built by _match_oracle below).
+        "match_clusters_token": _match_oracle(
+            """keys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
+                     FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0)"""
+        ),
+        "match_clusters_lsh": _match_oracle(
+            f"""tokkeys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
+                        FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0),
+            mdist AS (SELECT DISTINCT doc_id, token FROM pos),
+            mh AS (SELECT doc_id,
+                          ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hv
+                   FROM mdist),
+            sig AS (SELECT doc_id, {mh_sig_cols} FROM mh GROUP BY doc_id),
+            lshkeys AS ({mh_band_selects}),
+            keys AS (SELECT doc_id, key FROM tokkeys
+                     UNION ALL SELECT doc_id, key FROM lshkeys)"""
+        ),
         "agg_lineitem": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -50,6 +50,12 @@ class MatchConfig:
     bands: int = 16               # LSH bands (16 x 4: ~0.5 jaccard knee)
     rows_per_band: int = 4
     use_lsh: bool = True
+    # hash choices: 'xxhash64' (fast, production) or the portable
+    # 'md5'/'concat' pair that a relational oracle reproduces exactly
+    # (see blocking.md5_token_hash) — lets the FULL pipeline incl. LSH
+    # blocking be value-checked end-to-end.
+    minhash_token_hash: str = "xxhash64"
+    lsh_band_hash: str = "xxhash64"
     weights: dict = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
     threshold: float = DEFAULT_THRESHOLD
     lev_prefix: int = 128
@@ -110,9 +116,13 @@ def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchRes
         sigs = minhash_signature(
             docs, id_col="doc_id", tokens_col="tokens",
             num_hashes=cfg.num_hashes, seed=cfg.seed,
+            token_hash=cfg.minhash_token_hash,
         )
         keys = keys.unionByName(
-            lsh_band_keys(sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band)
+            lsh_band_keys(
+                sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+                band_hash=cfg.lsh_band_hash,
+            )
         )
 
     if cfg.cache:

@@ -56,10 +56,14 @@ def resumable_match_pipeline(
         keys = token_blocking_keys(posting, idf, min_idf=cfg.min_idf)
         if cfg.use_lsh:
             sigs = minhash_signature(
-                docs, num_hashes=cfg.num_hashes, seed=cfg.seed
+                docs, num_hashes=cfg.num_hashes, seed=cfg.seed,
+                token_hash=cfg.minhash_token_hash,
             )
             keys = keys.unionByName(
-                lsh_band_keys(sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band)
+                lsh_band_keys(
+                    sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+                    band_hash=cfg.lsh_band_hash,
+                )
             )
         return keys
 
