@@ -1591,6 +1591,20 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
             FROM events GROUP BY 1
         """,
+        # media feature stub is md5-derived -> fully reproducible:
+        # width/height/frames from digest byte slices = hex substrings
+        "media_features": r"""
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+            h AS (SELECT doc_id, md5(text) AS m,
+                         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                  FROM d)
+            SELECT doc_id, 'image' AS media_type, n_bytes, m AS content_md5,
+                   CAST(16 + ('0x' || substr(m, 1, 4))::INT % 2544 AS INT) AS width,
+                   CAST(16 + ('0x' || substr(m, 5, 4))::INT % 1424 AS INT) AS height,
+                   CAST(1 + ('0x' || substr(m, 9, 2))::INT % 120 AS INT) AS n_frames,
+                   'stubbed' AS decode_status
+            FROM h
+        """,
         "media_frames": """
             WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
             n AS (SELECT doc_id,

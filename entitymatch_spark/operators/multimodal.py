@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 MEDIA_FEATURE_SCHEMA = (
-    "doc_id string, media_type string, n_bytes long, sha1 string, "
+    "doc_id string, media_type string, n_bytes long, content_md5 string, "
     "width int, height int, n_frames int, decode_status string"
 )
 
@@ -64,8 +64,13 @@ def _resize_real(payload: bytes, out_w: int, out_h: int) -> bytes:
 
 
 def _fake_features(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in features derived from the payload bytes."""
-    digest = hashlib.sha1(payload).digest()
+    """Deterministic stand-in features derived from the payload bytes.
+
+    md5-derived (not sha1) so the DuckDB contract oracle can reproduce
+    them: width/height/frames come from the first hex chars of the
+    digest, i.e. substr(md5(payload), ...) in any engine with md5.
+    """
+    digest = hashlib.md5(payload).digest()
     width = 16 + (int.from_bytes(digest[0:2], "big") % 2544)
     height = 16 + (int.from_bytes(digest[2:4], "big") % 1424)
     frames = 1 + digest[4] % 120
@@ -106,7 +111,7 @@ def extract_media_features(
                         "doc_id": str(rid),
                         "media_type": mtype,
                         "n_bytes": len(data),
-                        "sha1": hashlib.sha1(data).hexdigest(),
+                        "content_md5": hashlib.md5(data).hexdigest(),
                         "width": w,
                         "height": h,
                         "n_frames": fr,
@@ -116,7 +121,7 @@ def extract_media_features(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "media_type", "n_bytes", "sha1",
+                    "doc_id", "media_type", "n_bytes", "content_md5",
                     "width", "height", "n_frames", "decode_status",
                 ],
             )

@@ -303,9 +303,9 @@ def test_multimodal_features(spark):
     assert all(r["decode_status"] == "stubbed" for r in rows)
     assert all(r["n_bytes"] > 0 and 16 <= r["width"] and 16 <= r["height"] for r in rows)
     # deterministic: same payload -> same features
-    again = {r["doc_id"]: (r["sha1"], r["width"], r["height"]) for r in
+    again = {r["doc_id"]: (r["content_md5"], r["width"], r["height"]) for r in
              extract_media_features(media.repartition(4)).collect()}
-    first = {r["doc_id"]: (r["sha1"], r["width"], r["height"]) for r in rows}
+    first = {r["doc_id"]: (r["content_md5"], r["width"], r["height"]) for r in rows}
     assert first == again
     # null payload probe
     nulls = spark.createDataFrame(
