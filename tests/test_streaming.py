@@ -137,6 +137,55 @@ def test_incremental_match_parity_with_batch(spark, tmp_path):
     assert any(s >= cfg.threshold for s in got.values())
 
 
+def test_incremental_match_watermarked_dedup(spark, tmp_path):
+    """The bounded-state variant: with a watermark on the arrival time,
+    dropDuplicatesWithinWatermark dedups candidate pairs and the scored
+    output matches the unbounded-dedup variant on a bounded stream."""
+    from entitymatch_spark.operators.blocking import (
+        lsh_band_keys, minhash_signature, prune_oversized_blocks,
+        token_blocking_keys,
+    )
+    from entitymatch_spark.operators.posting import (
+        build_posting, collect_idf_map, token_idf,
+    )
+    from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
+
+    cfg = MatchConfig()
+    fx = generate_corpus(n_clusters=12, seed=44)
+    pages = corpus_to_spark(spark, fx)["pages"].drop("cluster_id")
+    new = pages.limit(5).persist()
+    static_pages = pages.join(new.select("url"), "url", "left_anti")
+    docs = prepare_docs(static_pages, cfg).persist()
+    idf = token_idf(build_posting(docs), n_docs=docs.count())
+    keys = prune_oversized_blocks(
+        token_blocking_keys(build_posting(docs), idf, min_idf=cfg.min_idf).unionByName(
+            lsh_band_keys(minhash_signature(docs, seed=cfg.seed))
+        ),
+        cfg.max_block,
+    ).persist()
+    idf_map = collect_idf_map(idf)
+
+    d = tmp_path / "wm_arrivals"
+    new.write.mode("overwrite").parquet(str(d))
+
+    def run(wm: bool, name: str):
+        stream = spark.readStream.schema(new.schema).parquet(str(d))
+        if wm:
+            stream = stream.withWatermark("warc_ts", "1 hour")
+        out = incremental_match(
+            stream, docs, keys, idf, idf_map,
+            seed=cfg.seed, dedup_within_watermark=wm,
+        )
+        return {
+            (r["id_a"], r["id_b"]): round(r["score"], 9)
+            for r in _run_stream(spark, out.drop("warc_ts"), name).collect()
+        }
+
+    bounded = run(True, "wm_sink")
+    unbounded = run(False, "nowm_sink")
+    assert bounded == unbounded and bounded
+
+
 def test_streaming_event_counts(spark, tmp_path):
     events = spark.createDataFrame(
         [(i, f"2024-01-01 00:{i % 50:02d}:00", "click" if i % 3 else "view", float(i))
