@@ -79,6 +79,30 @@ def test_resumable_pipeline_matches_fresh_run(spark, tmp_path, small_corpus):
     assert {"docs", "idf", "keys", "pairs", "scored", "components"} <= stages
 
 
+def test_resumable_pipeline_honors_idf_cap(spark, tmp_path, small_corpus):
+    """The resumable path must apply cfg.idf_max_entries like the
+    non-resume path (it used to silently collect the full vocabulary):
+    with a tight cap the run completes, scores rare tokens at the tail
+    mean, and reproduces ~all clusters of the uncapped resumable run."""
+    fx, pages = small_corpus
+    uncapped = resumable_match_pipeline(
+        spark, pages, tmp_path / "u", MatchConfig(), n_score_buckets=2
+    )
+    capped = resumable_match_pipeline(
+        spark, pages, tmp_path / "c", MatchConfig(idf_max_entries=300),
+        n_score_buckets=2,
+    )
+
+    def clusters(res):
+        by = {}
+        for r in res["clusters"].collect():
+            by.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in by.values()}
+
+    a, b = clusters(uncapped), clusters(capped)
+    assert len(a & b) / max(len(a), len(b)) >= 0.9, (len(a), len(b))
+
+
 def test_resumable_pipeline_kill_between_buckets(spark, tmp_path, small_corpus):
     """Kill after 2 of 4 scoring buckets; rerun must not rescore them."""
     fx, pages = small_corpus
