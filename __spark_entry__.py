@@ -212,6 +212,22 @@ def q_tokenize_text(spark, sf):  # P2 (Language.cs:18-23)
     )
 
 
+def q_tokenize_offsets(spark, sf):  # P2 offsets facet (Interfaces.cs:9-25)
+    """Token + char offsets into the normalized text — the reference's
+    Token(value, index, length) contract (ref: Language.cs:18-23,
+    Interfaces.cs:9-25), via the Arrow-batched offsets UDF."""
+    from entitymatch_spark.functions.text import tokenize_with_offsets
+
+    d = _t(spark, sf, "documents")
+    out = d.select("doc_id", F.explode(tokenize_with_offsets("text")).alias("t"))
+    return out.select(
+        "doc_id",
+        F.col("t.token").alias("token"),
+        F.col("t.start").cast("long").alias("start"),
+        F.col("t.length").cast("long").alias("length"),
+    )
+
+
 def q_build_posting(spark, sf):  # J1 (EntitiesDictionary.cs:39-62)
     _, posting = _posting(spark, sf)
     return posting.select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
@@ -286,10 +302,27 @@ def q_topk_per_group(spark, sf):  # W1 (Recognizer.cs:24-46)
     )
 
 
+# P8 (Util.cs:166-242): TryParseNumericAttrValue splits "3.5 baths"
+# into a leading number part AND a trailing unit part — one regex, two
+# capture groups. The attribute string is built from integer-derived
+# pieces (event_id mod constants + event_type) so both engines format
+# it identically (no float->string round-trip ambiguity).
+_NUM_UNIT_RE = r"^([0-9]*\.?[0-9]+)\s*(.*)$"
+
+
 def q_parse_numeric_unit(spark, sf):  # P8 (Util.cs:166-242)
-    return _t(spark, sf, "events").select(
+    ev = _t(spark, sf, "events")
+    attr = F.concat(
+        (F.col("event_id") % 97).cast("string"), F.lit("."),
+        (F.col("event_id") % 7).cast("string"), F.lit(" "),
+        F.col("event_type"),
+    )
+    return ev.select(
         "event_id",
         F.regexp_extract("props", r"([0-9]+)", 1).cast("long").alias("k_num"),
+        F.regexp_extract(attr, _NUM_UNIT_RE, 1).alias("num_part"),
+        F.regexp_extract(attr, _NUM_UNIT_RE, 2).alias("unit_part"),
+        F.regexp_extract(attr, _NUM_UNIT_RE, 1).cast("double").alias("num_val"),
     )
 
 
@@ -531,19 +564,6 @@ def q_doc_fingerprint(spark, sf):  # content fingerprint (normalization-invarian
     return content_fingerprint(_docs(spark, sf))
 
 
-def q_multimodal_meta(spark, sf):  # typed metadata over opaque payloads
-    d = _t(spark, sf, "documents")
-    nb = F.octet_length("text").cast("long")
-    toks = F.size(F.split(F.trim("text"), r"\s+"))
-    return d.select(
-        "doc_id",
-        nb.alias("n_bytes"),
-        (nb % 640 + 16).alias("img_w"),
-        ((nb * 7) % 480 + 16).alias("img_h"),
-        (toks % 30 + 1).cast("long").alias("n_frames"),
-    )
-
-
 SCAN_PHRASES = ["table scan", "hash join", "group by", "sort merge", "the fast"]
 # autocomplete-style typed prefixes (fuzzy: <=1 edit against token prefixes)
 PREFIX_QUERIES = ["tab", "quer", "windo", "jion", "fi"]
@@ -617,12 +637,19 @@ def q_autocomplete_topl(spark, sf):  # W4 + Trie.cs:277-335 completions
 
 
 def q_embed_hash(spark, sf):  # S6 embedding source stand-in (hashing trick)
+    """Scalar-row shape (doc_id, slot, val): the driver's canonicalizer
+    sorts/hashes column values and cannot hash an array<double> column,
+    so the contract query posexplodes the vector — one row per vector
+    slot. Library users get the array shape from hash_embed directly."""
     from entitymatch_spark.operators.embed import hash_embed
 
     out = hash_embed(_docs(spark, sf), dim=32)
     return out.select(
+        "doc_id", F.posexplode("embedding").alias("slot", "val")
+    ).select(
         "doc_id",
-        F.expr("transform(embedding, x -> round(x, 6))").alias("embedding"),
+        F.col("slot").cast("long").alias("slot"),
+        F.round("val", 6).alias("val"),
     )
 
 
@@ -947,45 +974,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return inner
 
     qs = {
-        # Flagship end-to-end pipeline queries FIRST: the round-1 driver
-        # stopped after 50 entries, so ordering is by importance — the
-        # blocking->scoring->clustering pipeline is the whole point of
-        # the engine and must always get a CORRECTNESS row.
+        # ORDERING CONTRACT: the driver verifies the FIRST ~50 entries
+        # per round. Round-3 rotation policy (VERDICT r2 ask): flagship
+        # pipeline first (always verified), then every query that got NO
+        # CORRECTNESS row in round 2 (past the r2 cap) or changed this
+        # round, then r2-green rows; the 11 tail entries are simple
+        # relational queries green in BOTH r1 and r2 — safest to go one
+        # round without re-verification.
         "match_clusters_token": q_match_clusters_token,
         "match_clusters_lsh": q_match_clusters_lsh,
         "match_clusters": q_match_clusters,
-        # round-2 additions + the round-1 red row next (they need rows):
-        "sessionize_events": q_sessionize_events,
-        "prefix_lookup": q_prefix_lookup,
-        "autocomplete_topl": q_autocomplete_topl,
-        "multi_pattern_any": q_multi_pattern_any,
+        # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
-        "asof_events": q_asof_events,
-        "cube_events": q_cube_events,
+        # no r2 row (past the r2 cap) — rotate into the verified set:
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "json_export": q_json_export,
+        "rollup_events": q_rollup_events,
+        "pivot_events": q_pivot_events,
+        "agg_lineitem": q_agg_lineitem,
+        # new or changed this round:
+        "tokenize_offsets": q_tokenize_offsets,
+        "parse_numeric_unit": q_parse_numeric_unit,
+        # r2-green, kept in the verified set:
         "dedup_minhash_oracle": q_dedup_minhash_oracle,
         "dedup_simhash_oracle": q_dedup_simhash_oracle,
         "ann_lsh_oracle": q_ann_lsh_oracle,
-        "scan_documents": q_scan_documents,
-        "scan_dedup": q_scan_dedup,
-        "normalize_text": q_normalize_text,
         "tokenize_text": q_tokenize_text,
         "build_posting": q_build_posting,
         "token_idf": q_token_idf,
         "doc_total_weight": q_doc_total_weight,
-        "word_freq": q_word_freq,
-        "histogram_count": q_histogram_count,
-        "histogram_summary": q_histogram_summary,
+        "sessionize_events": q_sessionize_events,
+        "prefix_lookup": q_prefix_lookup,
+        "autocomplete_topl": q_autocomplete_topl,
+        "multi_pattern_any": q_multi_pattern_any,
+        "asof_events": q_asof_events,
+        "cube_events": q_cube_events,
         "histogram_threshold": q_histogram_threshold,
-        "histogram_topn": q_histogram_topn,
-        "topk_per_group": q_topk_per_group,
-        "parse_numeric_unit": q_parse_numeric_unit,
         "spelling_alternatives": q_spelling_alternatives,
         "synonym_expand": q_synonym_expand,
         "candidate_pairs": q_candidate_pairs,
         "candidate_pairs_alt": q_candidate_pairs_alt,
         "extend_spans": q_extend_spans,
         "topk_spans": q_topk_spans,
-        "entity_total_weight": q_doc_total_weight,  # documents play the entity role
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "score_pairs": q_score_pairs,
         "dedup_exact": q_dedup_exact,
@@ -997,26 +1033,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "doc_fingerprint": q_doc_fingerprint,
-        "set_ops": q_set_ops,
         "multi_pattern_first": q_multi_pattern_first,
         "multi_pattern_count": q_multi_pattern_count,
+        # ---- tail (green in BOTH r1 and r2; rotate back next round) ----
+        "scan_documents": q_scan_documents,
+        "scan_dedup": q_scan_dedup,
+        "normalize_text": q_normalize_text,
+        "word_freq": q_word_freq,
+        "histogram_count": q_histogram_count,
+        "histogram_summary": q_histogram_summary,
+        "histogram_topn": q_histogram_topn,
+        "topk_per_group": q_topk_per_group,
+        "set_ops": q_set_ops,
         "token_rejoin": q_token_rejoin,
         "char_class_stats": q_char_class_stats,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "winnowing_fingerprints": q_winnowing_fingerprints,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "media_features": q_media_features,
-        "media_frames": q_media_frames,
-        # relational-breadth rows last: all were hash-green in round 1,
-        # so if a driver budget truncates the run these are the safest
-        # to lose.
-        "json_export": q_json_export,
-        "rollup_events": q_rollup_events,
-        "pivot_events": q_pivot_events,
-        "agg_lineitem": q_agg_lineitem,
-        "multimodal_meta": q_multimodal_meta,
     }
     return {k: wrap(v) for k, v in qs.items()}
 
@@ -1082,7 +1112,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, df, round(idf, 6) AS idf FROM idf
         """,
         "doc_total_weight": total_weight_sql,
-        "entity_total_weight": total_weight_sql,
         "word_freq": f"""
             WITH {POS_CTE}
             SELECT token, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
@@ -1109,9 +1138,21 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY value DESC, event_id ASC) AS rnk
               FROM events) WHERE rnk <= 3
         """,
-        "parse_numeric_unit": """
-            SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_num
-            FROM events
+        # P8 two-group split: number part + unit part (Util.cs:166-242).
+        # The attr string is integer-built (event_id mods + event_type)
+        # so Spark and DuckDB format it identically.
+        "parse_numeric_unit": r"""
+            WITH a AS (
+              SELECT event_id, props,
+                     CAST(event_id % 97 AS VARCHAR) || '.' ||
+                     CAST(event_id % 7 AS VARCHAR) || ' ' || event_type AS attr
+              FROM events)
+            SELECT event_id,
+                   CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_num,
+                   regexp_extract(attr, '^([0-9]*\.?[0-9]+)\s*(.*)$', 1) AS num_part,
+                   regexp_extract(attr, '^([0-9]*\.?[0-9]+)\s*(.*)$', 2) AS unit_part,
+                   CAST(regexp_extract(attr, '^([0-9]*\.?[0-9]+)\s*(.*)$', 1) AS DOUBLE) AS num_val
+            FROM a
         """,
         "spelling_alternatives": f"""
             WITH probe AS (SELECT DISTINCT unnest({TOKS}) AS t FROM documents WHERE lang = 'de'),
@@ -1348,14 +1389,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp FROM documents
         """,
-        "multimodal_meta": r"""
-            WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-                              len(regexp_split_to_array(trim(text), '\s+')) AS toks
-                       FROM documents)
-            SELECT doc_id, n_bytes, n_bytes % 640 + 16 AS img_w,
-                   (n_bytes * 7) % 480 + 16 AS img_h,
-                   CAST(toks % 30 + 1 AS BIGINT) AS n_frames
-            FROM d
+        # P2 offsets: token starts = positions where a \w char is not
+        # preceded by one; the token is the maximal \w+ run from there.
+        # Mirrors the Arrow offsets UDF (functions/text.py:66) over the
+        # same normalized text, 0-based char offsets.
+        "tokenize_offsets": rf"""
+            WITH d AS (SELECT doc_id, {NORM} AS norm FROM documents),
+            chars AS (SELECT doc_id, norm,
+                             CAST(unnest(range(1, length(norm) + 1)) AS INT) AS p
+                      FROM d),
+            starts AS (SELECT doc_id, norm, p FROM chars
+                       WHERE regexp_matches(substr(norm, p, 1), '^\w$')
+                         AND (p = 1 OR NOT regexp_matches(substr(norm, p - 1, 1), '^\w$'))),
+            tok AS (SELECT doc_id, p,
+                           regexp_extract(substr(norm, p), '^\w+') AS token
+                    FROM starts)
+            SELECT doc_id, token, CAST(p - 1 AS BIGINT) AS start,
+                   CAST(length(token) AS BIGINT) AS length
+            FROM tok
         """,
         "set_ops": f"""
             SELECT DISTINCT unnest({TOKS}) AS token FROM documents WHERE lang = 'es'
@@ -1502,7 +1553,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ham WHERE hamming <= 12
         """,
         # feature-hash embedding: md5-derived slot/sign (portable to
-        # DuckDB), integer slot sums, L2 normalize, round(6) per element
+        # DuckDB), integer slot sums, L2 normalize, round(6) per value.
+        # Scalar-row shape (doc_id, slot, val): unnest + subscripts
+        # mirror the Spark side's posexplode (arrays can't be hashed by
+        # the driver's canonicalizer).
         "embed_hash": f"""
             WITH {POS_CTE},
             s AS (SELECT doc_id,
@@ -1520,7 +1574,9 @@ def oracle_sql() -> dict[str, str]:
             n AS (SELECT doc_id, rawv,
                          sqrt(list_aggregate(list_transform(rawv, x -> x * x), 'sum')) AS nrm
                   FROM l)
-            SELECT doc_id, list_transform(rawv, x -> round(x / nrm, 6)) AS embedding
+            SELECT doc_id,
+                   CAST(generate_subscripts(rawv, 1) - 1 AS BIGINT) AS slot,
+                   round(unnest(rawv) / nrm, 6) AS val
             FROM n WHERE nrm > 0
         """,
         "token_rejoin": f"""

@@ -71,13 +71,15 @@ def hash_embed(
             ).alias("raw"),
         )
     )
+    # Materialize the norm as a column so normalization is O(dim) per
+    # doc — an aggregate() inside the transform lambda would rerun the
+    # O(dim) sum for every element (O(dim^2) per doc).
     norm = F.sqrt(F.expr("aggregate(raw, 0D, (acc, x) -> acc + x * x)"))
     return (
-        dense.filter(norm > 0)
+        dense.withColumn("nrm", norm)
+        .filter(F.col("nrm") > 0)
         .select(
             F.col(id_col),
-            F.expr(
-                "transform(raw, x -> x / sqrt(aggregate(raw, 0D, (acc, y) -> acc + y * y)))"
-            ).alias("embedding"),
+            F.expr("transform(raw, x -> x / nrm)").alias("embedding"),
         )
     )
