@@ -781,11 +781,13 @@ def q_dedup_minhash_lsh(spark, sf):
         candidate_pairs, lsh_band_keys, minhash_signature,
     )
 
-    d = _docs(spark, sf)
+    # repartition: the sf parquet arrives as one file/partition and the
+    # 64-expression MinHash is the expensive upstream — spread it over
+    # the executors before the (single-pass) block grouping. No persist:
+    # candidate_pairs consumes the key table exactly once.
+    d = _docs(spark, sf).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sigs = minhash_signature(d, id_col="doc_id", tokens_col="tokens")
-    # persist: candidate_pairs references the key table three times and
-    # the 64-expression MinHash is the expensive upstream
-    keys = lsh_band_keys(sigs, bands=16, rows_per_band=4).persist()
+    keys = lsh_band_keys(sigs, bands=16, rows_per_band=4)
     return candidate_pairs(keys, max_block=32).select("id_a", "id_b", "n_keys")
 
 
@@ -800,9 +802,9 @@ def q_dedup_minhash_oracle(spark, sf):
         candidate_pairs, lsh_band_keys, minhash_signature,
     )
 
-    d = _docs(spark, sf)
+    d = _docs(spark, sf).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sigs = minhash_signature(d, num_hashes=16, token_hash="md5")
-    keys = lsh_band_keys(sigs, bands=4, rows_per_band=4, band_hash="concat").persist()
+    keys = lsh_band_keys(sigs, bands=4, rows_per_band=4, band_hash="concat")
     return candidate_pairs(keys, max_block=32).select("id_a", "id_b", "n_keys")
 
 

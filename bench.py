@@ -124,7 +124,7 @@ def _scale_legs(spark, n_clusters: int) -> dict:
             minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
             bands=cfg.bands, rows_per_band=cfg.rows_per_band,
         )
-    ).persist()
+    )  # no persist: candidate_pairs consumes the key table once
     pairs = candidate_pairs(keys, max_block=cfg.max_block)
     idf_map = collect_idf_map(idf)
 
@@ -158,7 +158,7 @@ def _scale_legs(spark, n_clusters: int) -> dict:
             took[p] = time.perf_counter() - t0
             best[p] = min(best[p], took[p])
         rounds.append((took[SCALE_N], took[SCALE_4N]))
-    for df in (docs, keys, *legs.values()):
+    for df in (docs, *legs.values()):
         df.unpersist()
     # Efficiency is a RATIO, so it must be computed within one weather
     # window: a round's two legs run back-to-back seconds apart, and
@@ -218,7 +218,7 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
             minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
             bands=cfg.bands, rows_per_band=cfg.rows_per_band,
         )
-    ).persist()  # referenced 3x by candidate_pairs (size agg + join sides)
+    )  # no persist: candidate_pairs consumes the key table once
     pairs = (
         candidate_pairs(keys, max_block=cfg.max_block)
         .repartition(cpus * 4)

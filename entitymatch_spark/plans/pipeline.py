@@ -125,11 +125,9 @@ def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchRes
             )
         )
 
-    if cfg.cache:
-        # candidate_pairs references the key table three times (block-size
-        # agg + both self-join sides); without a persist Catalyst
-        # recomputes the MinHash expressions for each reference.
-        keys = keys.persist()
+    # No keys persist: candidate_pairs is single-pass (one groupBy over
+    # the key table), so there is no multi-reference recompute to avoid
+    # and nothing to leak from the cache.
     pairs = candidate_pairs(keys, max_block=cfg.max_block)
     if cfg.cache:
         pairs = pairs.persist()
