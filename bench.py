@@ -23,8 +23,11 @@ Three subprocess legs (one JVM per master):
    time-varying neighbor load into the ratio (observed swing
    2.2x-3.1x on identical code), and mixing per-leg bests across
    rounds under-reads because the 4N leg is ~4x more exposed to
-   contention. Reported: pairs-scored/sec at both + efficiency
-   (t_N/t_4N)/4 of the best round.
+   contention. Reported: per-leg pairs-scored/sec (BEST leg across
+   rounds — a throughput ceiling, deliberately a different estimator
+   from the ratio) + efficiency (t_N/t_4N)/4 with the MEDIAN round as
+   the headline (`efficiency`) and the best round alongside
+   (`efficiency_best_round`).
 3. Full run at local[$SPARK_GRAFT_CPUS] (default 32): end-to-end
    pipeline on the sf-sized corpus + headline operator queries from
    __spark_entry__ on $SPARK_GRAFT_SF_DIR testdata.

@@ -17,8 +17,10 @@ propagation), each round a pair of groupBy/join stages:
 
 Convergence: the edge multiset stops changing (checked by count +
 order-insensitive hash checksum — one cheap agg per round, no join).
-Each round ends in ``localCheckpoint`` to cut lineage (iterative plans
-otherwise grow exponentially and re-execute history every action).
+Each round ends in a lineage cut (iterative plans otherwise grow
+exponentially and re-execute history every action): ``localCheckpoint``
+by default, fault-tolerant ``checkpoint()`` with ``reliable=True``
+(see connected_components).
 
 The reference has no clustering (spans are per-query); this implements
 the north_star's transitive-closure stage.
@@ -75,22 +77,44 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``.
 
     component = min id of the node's connected component. Callers
     handle singletons (nodes with no edges) with a left join +
     coalesce(component, id).
+
+    ``reliable``: per-round lineage cuts default to ``localCheckpoint``
+    (executor-local blocks — fast, fine on local[*]), but on a real
+    multi-executor cluster a lost executor makes the truncated lineage
+    unrecoverable. ``reliable=True`` switches to fault-tolerant
+    ``checkpoint()`` writes under ``checkpoint_dir`` (or the context's
+    already-configured checkpoint dir) — the same durability the
+    resumable pipeline gets from its write-read barriers.
     """
-    e = (
+    if reliable:
+        sc = edges.sparkSession.sparkContext
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True needs a checkpoint dir: pass checkpoint_dir "
+                "or call sparkContext.setCheckpointDir first"
+            )
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    e = cut(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev = _checksum(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = cut(_small_star(_large_star(e)))
         cur = _checksum(e)
         if cur == prev:
             break

@@ -29,14 +29,30 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.parquet(source)
 
 
+# V2-write failures that mean "this catalog can't do it", where the V1
+# saveAsTable path is the documented equivalent — everything else
+# (schema mismatch, bad types, permissions) must surface, not silently
+# downgrade an atomic Iceberg REPLACE into a non-atomic drop/recreate.
+_V1_FALLBACK_CONDITIONS = {
+    # session/Hive catalog: no REPLACE TABLE AS SELECT capability
+    "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+    # V2 append requires the table to exist; V1 creates it (the
+    # writer's append contract is create-if-absent)
+    "TABLE_OR_VIEW_NOT_FOUND",
+    # "Cannot write into v1 table": the target exists but is a V1
+    # (session-catalog) table — exactly what saveAsTable handles
+    "_LEGACY_ERROR_TEMP_1012",
+}
+
+
 def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
     """Write to an Iceberg/catalog table when named, else parquet.
 
     Table targets prefer the V2 ``writeTo`` path (atomic replace on
-    Iceberg); catalogs without REPLACE TABLE AS SELECT support (e.g.
-    the plain session catalog / Hive) fall back to the V1
-    ``saveAsTable`` path, which has the same overwrite/append
-    semantics minus atomicity.
+    Iceberg); only the specific catalog-capability failures in
+    ``_V1_FALLBACK_CONDITIONS`` fall back to the V1 ``saveAsTable``
+    path (same overwrite/append semantics minus atomicity) — any other
+    AnalysisException re-raises.
     """
     from pyspark.errors import AnalysisException
 
@@ -46,7 +62,12 @@ def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
                 df.writeTo(target).createOrReplace()
             else:
                 df.writeTo(target).append()
-        except AnalysisException:
+        except AnalysisException as e:
+            cond = (
+                e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+            )
+            if cond not in _V1_FALLBACK_CONDITIONS:
+                raise
             df.write.mode("overwrite" if mode == "overwrite" else "append").saveAsTable(
                 target
             )

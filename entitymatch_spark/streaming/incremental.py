@@ -73,6 +73,7 @@ def incremental_match(
     threshold: float | None = None,
     default_idf: float = 1e-5,
     dedup_within_watermark: bool = False,
+    event_time_col: str = "warc_ts",
 ) -> DataFrame:
     """Streaming record linkage: score newly arrived pages against the
     already-indexed corpus, with the SAME keys and the SAME scorer as
@@ -113,8 +114,19 @@ def incremental_match(
     )
 
     # the event-time (watermark) column must ride along when bounded
-    # dedup state is requested
-    extra = ["warc_ts"] if dedup_within_watermark and "warc_ts" in pages_stream.columns else []
+    # dedup state is requested — fail fast here rather than let
+    # dropDuplicatesWithinWatermark error obscurely downstream (or
+    # silently drop the caller's watermark on a differently named column)
+    if dedup_within_watermark:
+        if event_time_col not in pages_stream.columns:
+            raise ValueError(
+                f"dedup_within_watermark=True needs event-time column "
+                f"{event_time_col!r} on the stream (have: {pages_stream.columns}); "
+                "pass event_time_col= to name it"
+            )
+        extra = [event_time_col]
+    else:
+        extra = []
     a = pages_stream.select(
         F.col("url").alias("id_a"),
         normalize_text("text").alias("_norm"),

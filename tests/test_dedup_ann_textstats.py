@@ -66,6 +66,56 @@ def test_simhash(spark):
     assert s2 == sigs
 
 
+def test_simhash_recall_beyond_guarantee(spark):
+    """simhash_dedup_pairs is EXACT for max_hamming <= bands-1 and a
+    verified SUBSET above (dedup.py docstring). Measure both claims
+    against brute-force all-pairs hamming on the labeled corpus:
+
+    - precision 1.0 always (the bit_count(xor) verify is exact);
+    - recall 1.0 at h <= 3 with the default 4 bands (pigeonhole);
+    - recall 1.0 at h <= 7 with bands=8 (extended guarantee);
+    - at the contract call (bands=4, h=12) recall is MEASURED and
+      asserted above a floor — documenting, not hiding, the subset
+      semantics the 4-band blocking gives beyond its guarantee.
+    """
+    fx = generate_corpus(n_clusters=60, seed=11)
+    pages = corpus_to_spark(spark, fx)["pages"]
+    docs = pages.select(
+        F.col("url").alias("doc_id"), tokenize("text").alias("tokens")
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signature(docs).collect()}
+    ids = sorted(sigs)
+    truth = {}  # all pairs at hamming <= 12, brute force
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            if h <= 12:
+                truth[(a, b)] = h
+    assert truth and any(3 < h <= 12 for h in truth.values()), (
+        "fixture must exercise the beyond-guarantee range"
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_dedup_pairs(docs, max_hamming=12).collect()}
+    # precision exact: every emitted pair is true, with the true distance
+    for p, h in got.items():
+        assert truth.get(p) == h, (p, h, truth.get(p))
+    # guarantee range is lossless
+    guaranteed = {p for p, h in truth.items() if h <= 3}
+    assert guaranteed <= set(got), sorted(guaranteed - set(got))[:5]
+    # bands=8 extends the lossless range to h <= 7
+    got8 = {(r["id_a"], r["id_b"])
+            for r in simhash_dedup_pairs(docs, max_hamming=12, bands=8).collect()}
+    within7 = {p for p, h in truth.items() if h <= 7}
+    assert within7 <= got8, sorted(within7 - got8)[:5]
+    # measured subset recall beyond the guarantee: 0.23 on this fixture
+    # (most truth pairs sit at hamming 8-12 where a 4-band collision is
+    # unlikely) — exactly why the CONTRACT queries call h=3, inside the
+    # lossless range. The floor documents the measurement, it is not a
+    # quality claim.
+    recall = len(set(got) & set(truth)) / len(truth)
+    assert 0.15 <= recall < 1.0, recall
+
+
 def test_ngram_jaccard_pairs(spark):
     pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 4)], "id_a long, id_b long")
     out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in

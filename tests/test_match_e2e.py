@@ -59,6 +59,24 @@ def test_cluster_reproduction(result):
     assert merge_err == 0, f"{merge_err} predicted clusters span >1 truth cluster"
 
 
+def test_production_matches_portable_variant(spark, result):
+    """The production pipeline (xxhash64 MinHash, folded band keys — the
+    no-oracle driver variant) must recover the SAME partition as the
+    portable md5/concat variant that the DuckDB oracle value-checks.
+    Cluster ids are min-member ids, so identical partitions mean
+    identical (doc -> cluster) maps — compared exactly. This anchors the
+    production hash path to the value-checked one (VERDICT r2 ask)."""
+    fx, _, prod_clusters = result
+    cfg = MatchConfig(
+        num_hashes=16, bands=4, rows_per_band=4,
+        minhash_token_hash="md5", lsh_band_hash="concat",
+    )
+    portable = match_pipeline(corpus_to_spark(spark, fx)["pages"], cfg).clusters.toPandas()
+    prod = dict(zip(prod_clusters["doc_id"], prod_clusters["cluster_id"]))
+    port = dict(zip(portable["doc_id"], portable["cluster_id"]))
+    assert prod == port
+
+
 def test_all_labeled_pairs_blocked(result):
     """Every labeled positive pair must be a candidate (blocking recall)."""
     fx, scored, _ = result

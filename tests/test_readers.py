@@ -34,6 +34,16 @@ def test_table_branch_read_and_write(spark):
     back = read_pages(spark, "pages_tbl_view")  # spark.table(...) branch
     assert back.count() == pages.count()
 
+    # pre-clean BOTH catalog and warehouse location: a dir left by a
+    # previous session (whose in-memory catalog died with it) makes the
+    # managed-table create fail with LOCATION_ALREADY_EXISTS
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql("DROP TABLE IF EXISTS default.pages_tbl_rt")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/pages_tbl_rt", ignore_errors=True)
+
     write_table(pages, "default.pages_tbl_rt", mode="overwrite")
     rt = read_pages(spark, "default.pages_tbl_rt")
     assert rt.count() == pages.count()
@@ -41,6 +51,21 @@ def test_table_branch_read_and_write(spark):
     write_table(pages, "default.pages_tbl_rt", mode="append")
     assert read_pages(spark, "default.pages_tbl_rt").count() == 2 * pages.count()
     spark.sql("DROP TABLE IF EXISTS default.pages_tbl_rt")
+
+
+def test_write_table_reraises_noncapability_errors(spark):
+    """Only catalog-capability failures may fall back to V1; a genuine
+    analysis error (target is a VIEW) must surface as-is, not be
+    retried through saveAsTable."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    pages = corpus_to_spark(spark, generate_corpus(n_clusters=2, seed=4))["pages"].drop(
+        "cluster_id", "html"
+    )
+    pages.createOrReplaceTempView("wt_view")
+    with pytest.raises(AnalysisException, match="(?i)view"):
+        write_table(pages, "wt_view", mode="append")
 
 
 def test_is_table_name():
