@@ -102,7 +102,16 @@ def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX, default_idf: float = 1e-5):
         ):
             ta = (ta or "")[:jw_prefix]
             tb = (tb or "")[:jw_prefix]
-            jws.append(jaro_winkler_with_profile(ta, tb, jprof(ib, tb)))
+            # Jaro is symmetric: iterate the SHORTER string and profile
+            # the longer — the char loop shrinks and the profile cache
+            # serves a doc no matter which side of the pair it lands on
+            # (ids repeat on both sides across a batch). Measured 1.08x
+            # median (alternating-order, 6 rounds) on the JW leg over
+            # sf0.1 norm texts; scores identical by symmetry.
+            if len(ta) > len(tb):
+                jws.append(jaro_winkler_with_profile(tb, ta, jprof(ia, ta)))
+            else:
+                jws.append(jaro_winkler_with_profile(ta, tb, jprof(ib, tb)))
             cos, cont = tfidf_pair_from_profiles(
                 prof(ia, ka), prof(ib, kb), idf, default_idf
             )

@@ -88,6 +88,24 @@ def test_candidate_join_is_equijoin(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_candidate_pairs_single_pass(spark):
+    """candidate_pairs must consume the key table ONCE (block groupBy +
+    in-block expansion), never via the 3-reference self-join form: with
+    purge the whole plan is exactly two shuffles (block grouping + pair
+    dedup) and zero joins, so an expensive upstream (the 64-hash
+    MinHash) is computed once without any persist."""
+    from entitymatch_spark.operators.blocking import candidate_pairs, minhash_signature, lsh_band_keys
+
+    docs = spark.createDataFrame(
+        [(i, [f"t{j}" for j in range(i % 5 + 1)]) for i in range(20)],
+        "doc_id long, tokens array<string>",
+    )
+    keys = lsh_band_keys(minhash_signature(docs))
+    plan = _plan(candidate_pairs(keys, max_block=10))
+    assert " Join" not in plan and "Join " not in plan, plan[:2000]
+    assert plan.count("Exchange") == 2, plan[:2000]
+
+
 def test_no_rowwise_python_in_any_contract_query(spark):
     """Sweep every contract query's physical plan: Python appears only
     as Arrow-batched evaluation (ArrowEvalPython / MapInPandas /
