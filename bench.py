@@ -290,6 +290,11 @@ def child_main(cpus: int, mode: str, out_path: str) -> None:
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t, 3)
         timings["e2e_match_pipeline"] = result["e2e_sec"]
+        # per-stage decomposition of the e2e number (block includes
+        # normalize/posting/IDF/keys/pairs; score is best-of-repeats)
+        timings["pipeline_block_stage"] = result["block_sec"]
+        timings["pipeline_score_stage"] = result["score_sec"]
+        timings["pipeline_cluster_stage"] = result["cluster_sec"]
         result["queries"] = timings
 
     spark.stop()

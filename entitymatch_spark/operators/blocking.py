@@ -17,8 +17,9 @@ skew-aware by construction:
 - **Block purging + salting**: any key whose block exceeds ``max_block``
   is dropped (an over-shared key has no discriminative power — the
   blocking analog of the IDF floor); surviving blocks are bounded, so
-  the self-join output is bounded by cap^2/2 per block. The join runs
-  on an explicit repartition by key with AQE skew splitting on top.
+  per-block pair output is bounded by cap^2/2. Pair generation is a
+  SINGLE PASS over the key table (see candidate_pairs), with AQE skew
+  splitting on top.
 
 MinHash arithmetic note: Spark 4 runs ANSI mode (overflow raises), so
 the permutation is computed mod the Mersenne prime 2^31-1 with factors
@@ -193,8 +194,11 @@ def prune_oversized_blocks(
 ) -> DataFrame:
     """Drop keys whose block exceeds ``max_block`` (block purging).
 
-    Bounded blocks make the pair self-join output per block <= cap^2/2
-    and leave no skewed shuffle key behind.
+    Bounded blocks make per-block pair output <= cap^2/2 and leave no
+    skewed shuffle key behind. candidate_pairs folds this purge into
+    its block grouping; this standalone form serves callers that need
+    a purged KEY table itself (e.g. the streaming matcher's static
+    side, which stream-static-joins against it every micro-batch).
     """
     sizes = keys.groupBy("key").agg(F.count("*").alias("n"))
     ok = sizes.filter(F.col("n") <= max_block).select("key")

@@ -242,10 +242,10 @@ def simhash_dedup_pairs(
     mask = (1 << width) - 1
     # NO persist here, deliberately: the signature plan ends in a shuffle
     # (the 64-column aggregate), so Spark's ReusedExchange already shares
-    # that materialization across all five references below — a .persist()
-    # would only add a cache-write barrier (measured 7x slower at sf0.1).
-    # Contrast minhash LSH keys, which ARE narrow (no exchange to reuse)
-    # and genuinely need caller-side persistence.
+    # that materialization across the references below (pair generation
+    # consumes keys once; the a/b hamming-verify joins reuse sigs) — a
+    # .persist() would only add a cache-write barrier (measured 7x
+    # slower at sf0.1).
     sigs = simhash_signature(docs, id_col, tokens_col)
     band_cols = [
         F.concat(

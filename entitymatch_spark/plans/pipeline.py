@@ -4,7 +4,7 @@
       -> normalize/tokenize                 (columnar regex, M0)
       -> posting + IDF + totals             (posexplode + hash agg, M1)
       -> blocking keys: rare tokens ∪ LSH bands, block purging (M2)
-      -> candidate pairs (salted/bounded self-join)
+      -> candidate pairs (single-pass bounded block expansion)
       -> batched Arrow pair scoring, IDF broadcast (M3)
       -> threshold -> matched pairs
       -> connected components -> stable cluster ids (M4)
