@@ -16,6 +16,7 @@ lives in plans/checkpoint.py and wraps these stages at write points.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -83,6 +84,13 @@ class MatchConfig:
 
 @dataclass
 class MatchResult:
+    """Every field is a lazy DataFrame except ``clusters``, which is
+    computed ON FIRST ACCESS: the connected-components loop is an
+    iterative algorithm with per-round driver actions (checksums,
+    lineage cuts), so it cannot be a lazy plan — deferring it means a
+    caller who stops at ``scored``/``matches`` never pays for
+    clustering."""
+
     docs: DataFrame        # (id, norm_text, tokens)
     posting: DataFrame     # (id, pos, token)
     idf: DataFrame         # (token, df, idf)
@@ -90,7 +98,15 @@ class MatchResult:
     pairs: DataFrame       # (id_a, id_b, n_keys)
     scored: DataFrame      # pairs + features + score
     matches: DataFrame     # scored, score >= threshold
-    clusters: DataFrame    # docs + cluster_id
+    _clusters_fn: Callable[[], DataFrame] = field(repr=False)
+    _clusters: DataFrame | None = field(default=None, repr=False)
+
+    @property
+    def clusters(self) -> DataFrame:
+        """docs + cluster_id (runs transitive clustering once, cached)."""
+        if self._clusters is None:
+            self._clusters = self._clusters_fn()
+        return self._clusters
 
 
 def prepare_docs(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
@@ -142,11 +158,14 @@ def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchRes
         default_idf=default_idf,
     )
     matches = scored.filter(F.col("score") >= cfg.threshold)
-    components = connected_components(
-        matches.select("id_a", "id_b"), src="id_a", dst="id_b"
-    )
-    clusters = assign_clusters(docs.select("doc_id"), components)
+
+    def _clusters() -> DataFrame:
+        components = connected_components(
+            matches.select("id_a", "id_b"), src="id_a", dst="id_b"
+        )
+        return assign_clusters(docs.select("doc_id"), components)
+
     return MatchResult(
         docs=docs, posting=posting, idf=idf, keys=keys,
-        pairs=pairs, scored=scored, matches=matches, clusters=clusters,
+        pairs=pairs, scored=scored, matches=matches, _clusters_fn=_clusters,
     )

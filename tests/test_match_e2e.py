@@ -77,6 +77,31 @@ def test_production_matches_portable_variant(spark, result):
     assert prod == port
 
 
+def test_clustering_is_lazy(spark, monkeypatch):
+    """Constructing a MatchResult must NOT run the iterative
+    connected-components loop (per-round driver actions); it runs once,
+    on first access to .clusters, and is cached."""
+    import entitymatch_spark.plans.pipeline as pl
+
+    calls = []
+    orig = pl.connected_components
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "connected_components", spy)
+    pages = corpus_to_spark(spark, generate_corpus(n_clusters=5, seed=3))["pages"]
+    res = match_pipeline(pages, MatchConfig())
+    assert not calls, "clustering ran during pipeline construction"
+    assert res.scored.count() >= 0  # scoring usable without clustering
+    assert not calls
+    c1 = res.clusters
+    assert calls == [1]
+    c2 = res.clusters
+    assert c2 is c1 and calls == [1]  # cached, not re-run
+
+
 def test_all_labeled_pairs_blocked(result):
     """Every labeled positive pair must be a candidate (blocking recall)."""
     fx, scored, _ = result
