@@ -106,7 +106,7 @@ def _scale_legs(spark, n_clusters: int) -> dict:
     this shared box.
     """
     from entitymatch_spark.operators.blocking import (
-        candidate_pairs, lsh_band_keys, minhash_signature, token_blocking_keys,
+        candidate_pairs, lsh_band_keys, minhash_signature, token_blocking_keys_from_docs,
     )
     from entitymatch_spark.operators.posting import (
         build_posting, collect_idf_map, token_idf,
@@ -122,7 +122,7 @@ def _scale_legs(spark, n_clusters: int) -> dict:
     n_docs = docs.count()
     posting = build_posting(docs, id_col="doc_id")
     idf = token_idf(posting, n_docs=n_docs)
-    keys = token_blocking_keys(posting, idf, min_idf=cfg.min_idf).unionByName(
+    keys = token_blocking_keys_from_docs(docs, idf, min_idf=cfg.min_idf).unionByName(
         lsh_band_keys(
             minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
             bands=cfg.bands, rows_per_band=cfg.rows_per_band,
@@ -195,7 +195,7 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
     from pyspark.sql import functions as F
 
     from entitymatch_spark.operators.blocking import (
-        candidate_pairs, lsh_band_keys, minhash_signature, token_blocking_keys,
+        candidate_pairs, lsh_band_keys, minhash_signature, token_blocking_keys_from_docs,
     )
     from entitymatch_spark.operators.clustering import (
         assign_clusters, connected_components,
@@ -216,7 +216,7 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
     n_docs = docs.count()
     posting = build_posting(docs, id_col="doc_id")
     idf = token_idf(posting, n_docs=n_docs)
-    keys = token_blocking_keys(posting, idf, min_idf=cfg.min_idf).unionByName(
+    keys = token_blocking_keys_from_docs(docs, idf, min_idf=cfg.min_idf).unionByName(
         lsh_band_keys(
             minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
             bands=cfg.bands, rows_per_band=cfg.rows_per_band,

@@ -45,12 +45,44 @@ def token_blocking_keys(
     """(id, key): one blocking key per (doc, rare token).
 
     Rare = idf >= min_idf. IDF is vocabulary-sized -> broadcast join.
+    The trailing .distinct() is a full shuffle of the key table; when
+    the docs table (with its token arrays) is at hand, prefer
+    token_blocking_keys_from_docs — identical output with ZERO shuffle.
+    This posting-based form serves callers that only have the exploded
+    posting (e.g. a pre-materialized static index).
     """
     rare = idf.filter(F.col("idf") >= min_idf).select("token")
     return (
         posting.join(F.broadcast(rare), "token")
         .select(id_col, F.concat(F.lit("tok:"), F.col("token")).alias("key"))
         .distinct()
+    )
+
+
+def token_blocking_keys_from_docs(
+    docs: DataFrame,
+    idf: DataFrame,
+    min_idf: float = 1.0,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """token_blocking_keys computed NARROWLY from the docs table.
+
+    Per-row array_distinct before the explode replaces the global
+    .distinct() (dedup within a doc needs no cross-partition view), so
+    the whole key construction is explode + broadcast-join — zero
+    shuffles. At web scale that removes one full shuffle of a
+    ~10^13-row key table from the blocking stage. Output is
+    row-identical to the posting form (asserted in
+    tests/test_blocking_clustering.py).
+    """
+    rare = idf.filter(F.col("idf") >= min_idf).select("token")
+    return (
+        docs.select(
+            F.col(id_col), F.explode(F.array_distinct(tokens_col)).alias("token")
+        )
+        .join(F.broadcast(rare), "token")
+        .select(id_col, F.concat(F.lit("tok:"), F.col("token")).alias("key"))
     )
 
 

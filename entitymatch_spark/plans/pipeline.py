@@ -27,7 +27,7 @@ from entitymatch_spark.operators.blocking import (
     candidate_pairs,
     lsh_band_keys,
     minhash_signature,
-    token_blocking_keys,
+    token_blocking_keys_from_docs,
 )
 from entitymatch_spark.operators.clustering import assign_clusters, connected_components
 from entitymatch_spark.operators.posting import (
@@ -127,7 +127,9 @@ def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchRes
     posting = build_posting(docs, id_col="doc_id")
     idf = token_idf(posting, n_docs=n_docs)
 
-    keys = token_blocking_keys(posting, idf, min_idf=cfg.min_idf)
+    # narrow form: per-doc array_distinct + broadcast rare-token join,
+    # no global distinct shuffle (token_blocking_keys_from_docs docstring)
+    keys = token_blocking_keys_from_docs(docs, idf, min_idf=cfg.min_idf)
     if cfg.use_lsh:
         sigs = minhash_signature(
             docs, id_col="doc_id", tokens_col="tokens",

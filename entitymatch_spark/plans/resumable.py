@@ -22,7 +22,7 @@ from entitymatch_spark.operators.blocking import (
     candidate_pairs,
     lsh_band_keys,
     minhash_signature,
-    token_blocking_keys,
+    token_blocking_keys_from_docs,
 )
 from entitymatch_spark.operators.clustering import assign_clusters, connected_components
 from entitymatch_spark.operators.posting import (
@@ -52,8 +52,7 @@ def resumable_match_pipeline(
     idf = ck.stage("idf", lambda: token_idf(build_posting(docs), n_docs=n_docs))
 
     def _keys() -> DataFrame:
-        posting = build_posting(docs)
-        keys = token_blocking_keys(posting, idf, min_idf=cfg.min_idf)
+        keys = token_blocking_keys_from_docs(docs, idf, min_idf=cfg.min_idf)
         if cfg.use_lsh:
             sigs = minhash_signature(
                 docs, num_hashes=cfg.num_hashes, seed=cfg.seed,

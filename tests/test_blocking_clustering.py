@@ -38,6 +38,36 @@ def test_token_blocking_and_purge(spark):
     assert pruned.count() == 0  # every rare block has 3 members > cap 2
 
 
+def test_token_keys_from_docs_matches_posting_form(spark):
+    """token_blocking_keys_from_docs (narrow: per-doc array_distinct +
+    broadcast join, zero shuffle) must emit exactly the same (doc, key)
+    set as the posting-based form with its global distinct."""
+    from entitymatch_spark.functions.text import tokenize
+    from entitymatch_spark.operators.blocking import token_blocking_keys_from_docs
+    from entitymatch_spark.operators.posting import build_posting, token_idf
+
+    rows = [
+        (0, "alpha beta beta gamma zeta"),
+        (1, "alpha beta delta delta"),
+        (2, "gamma zeta zeta unique"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", tokenize("text").alias("tokens")
+    )
+    posting = build_posting(docs)
+    idf = token_idf(posting, n_docs=3)
+    a = {(r["doc_id"], r["key"])
+         for r in token_blocking_keys(posting, idf, min_idf=0.0).collect()}
+    b = {(r["doc_id"], r["key"])
+         for r in token_blocking_keys_from_docs(docs, idf, min_idf=0.0).collect()}
+    assert a == b and a
+    # per-doc dedup: repeated tokens yield ONE key row each
+    from collections import Counter
+    c = Counter(r["doc_id"] for r in
+                token_blocking_keys_from_docs(docs, idf, min_idf=0.0).collect())
+    assert c[0] == 4 and c[1] == 3 and c[2] == 3
+
+
 def test_minhash_deterministic_and_partition_independent(spark):
     rng = random.Random(5)
     rows = [(i, [f"t{rng.randrange(50)}" for _ in range(rng.randint(3, 15))]) for i in range(60)]
