@@ -28,18 +28,21 @@ the north_star's transitive-closure stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # Per-node min via a WINDOW over the bidirected edges — one shuffle
+    # (partitionBy u), where the groupBy-mins + join-back form paid two
+    # (aggregate shuffle + re-shuffle of the edge side). Same math:
+    # m = min(N(u) ∪ {u}); every larger neighbor attaches to m.
     bidir = edges.select(F.col("u"), F.col("v")).union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    w = Window.partitionBy("u")
     return (
-        bidir.join(mins, "u")
+        bidir.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
@@ -47,15 +50,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
+    # Window form of the same trick; the self-row {u} joins the
+    # neighbor list via the explicit union (kept distinct so duplicate
+    # oriented edges don't multiply it).
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     nbrs = oriented.unionByName(
         oriented.select("u", F.col("u").alias("v")).distinct()
     )
+    w = Window.partitionBy("u")
     return (
-        nbrs.join(mins, "u")
+        nbrs.withColumn("m", F.min("v").over(w))
         .filter(F.col("v") != F.col("m"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
@@ -105,7 +111,12 @@ def connected_components(
             )
 
     def cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        # localCheckpoint can be LAZY: its blocks are saved as a side
+        # effect of the next action — the per-round checksum — so each
+        # round runs ONE job instead of two. Reliable checkpoint()
+        # stays eager: a lazy reliable checkpoint recomputes the plan a
+        # second time to write the files.
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=False)
 
     e = cut(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
