@@ -198,7 +198,7 @@ def minhash_signature(
     """(id, sig array<long>): deterministic MinHash over the token *set*.
 
     sig[i] = min over distinct tokens t of (a_i * (xxhash64(t) mod p) + b_i) mod p
-    with p = 2^31 - 1. Computed PER ROW with transform/array_min column
+    with p = 2^31 - 1. Computed PER ROW with a single aggregate() fold column
     expressions (minhash_sig_expr) — a narrow transformation: zero
     shuffle, valid in Structured Streaming, and trivially partition-
     independent. Seeded factors, never time- or partition-dependent ->
