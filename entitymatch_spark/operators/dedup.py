@@ -2,11 +2,12 @@
 
 - exact: content-hash groupBy (md5 of normalized text)
 - MinHash-LSH: blocking.py signatures + band keys -> verified jaccard
-- SimHash: 64-bit signature, computed ENTIRELY JVM-side (no UDF):
-  explode tokens -> per-bit signed tf sums over xxhash64 bits ->
-  reassemble the long; near-dup candidates via 4x16-bit band blocking
-  (any pair at hamming distance <= 3 shares at least one intact band
-  by pigeonhole over 4 bands), verified with bit_count(xor).
+- SimHash: 64-bit signature, computed ENTIRELY JVM-side (no UDF) as a
+  per-row ZERO-shuffle aggregate() fold over the token array (signed
+  bit sums over xxhash64 bits -> packed long); near-dup candidates via
+  4x16-bit band blocking (any pair at hamming distance <= 3 shares at
+  least one intact band by pigeonhole over 4 bands), verified with
+  bit_count(xor).
 - n-gram jaccard: word n-gram shingle sets, array_intersect/union.
 
 All signatures are content-deterministic (hash-seeded, never
@@ -79,34 +80,53 @@ def simhash_signature(
     """(id, simhash long): 64-bit SimHash of the token multiset.
 
     bit_i(doc) = 1  iff  sum over tokens of tf * sign(bit_i(xxhash64(tok)))
-    is positive. Pure column expressions: one explode + one 64-column
-    hash aggregate (map-side combinable), then bitwise reassembly.
+    is positive — each occurrence contributes ±1 per bit, which sums to
+    exactly tf * sign.
 
-    SINGLE-shuffle form: each token OCCURRENCE contributes ±1 per bit
-    directly, which sums to exactly tf * sign — the (doc, token) tf
-    pre-aggregation an earlier version ran first only added a second
-    shuffle for identical results (xxhash64 per occurrence is cheap
-    JVM work). Measured at sf0.1: 4.3s -> 3.2s median, signatures
-    bit-identical.
+    ZERO-shuffle form: a per-row aggregate() fold over the token array
+    (zip_with adds each token's 64 signed bit contributions into the
+    accumulator), then bitwise packing of the sums. The previous shape
+    — explode occurrences + 64-column signed-sum hash aggregate — was
+    narrow up to the groupBy but then hash-partitioned one 65-column
+    row per document: at 10^12 docs that shuffle alone is ~0.5 PB,
+    and it buys nothing because a document's occurrences already live
+    in one partition. Locally the two are equal within noise (medians
+    2.7s vs 2.9s, alternating rounds, scripts/micro_simhash.py) and
+    signatures are bit-identical; the fold wins on the shuffle it
+    deletes. The sums array is materialized in its own projection so
+    the 64-element packing reads it once (CollapseProject keeps the
+    boundary for expensive multiply-referenced aliases).
+
+    Docs with no tokens get no signature row (same as the explode-drop
+    semantics of the old form).
     """
-    exploded = docs.select(
-        F.col(id_col), F.explode(tokens_col).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
-    sums = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = exploded.groupBy(id_col).agg(*sums)
+
+    def bits(h):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(64)
+            ]
+        )
+
+    sums = F.aggregate(
+        F.transform(tokens_col, lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bits(h), lambda a, b: a + b),
+    )
     sig = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.element_at("s", i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    return (
+        docs.filter(F.size(tokens_col) > 0)
+        .select(F.col(id_col), sums.alias("s"))
+        .select(F.col(id_col), sig.alias("simhash"))
+    )
 
 
 def simhash_bits_md5(
