@@ -39,6 +39,18 @@ def test_minhash_is_narrow(spark):
     assert "Exchange" not in plan  # per-row transform: zero shuffle
 
 
+def test_simhash_signature_is_narrow(spark):
+    """The per-row fold form must never reintroduce the per-doc
+    signature shuffle (at 10^12 docs that exchange is ~0.5 PB)."""
+    from entitymatch_spark.operators.dedup import simhash_signature
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b", "a"]), (2, ["c"])], "doc_id long, tokens array<string>"
+    )
+    plan = _plan(simhash_signature(docs))
+    assert "Exchange" not in plan, plan[:1500]
+
+
 def test_scorer_single_arrow_hop(spark):
     from entitymatch_spark.operators.scoring import score_pairs
 
