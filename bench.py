@@ -85,8 +85,13 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _warmup(spark, cpus):
-    """Spin up the python worker pool + JIT before any timed stage."""
+    """Spin up the python worker pool + JIT before any timed stage:
+    the Arrow UDF path, the higher-order-function interpreter (minhash
+    /simhash folds), and the window + localCheckpoint + checksum paths
+    the clustering stage uses — all on toy data, untimed."""
     from pyspark.sql import functions as F
+
+    from entitymatch_spark.operators.clustering import connected_components
 
     _w = F.pandas_udf(lambda s: s * 1.0, "double")
     (
@@ -94,6 +99,23 @@ def _warmup(spark, cpus):
         .select(_w(F.col("id").cast("double")))
         .write.format("noop").mode("overwrite").save()
     )
+    (
+        spark.range(1000)
+        .select(F.array(F.col("id"), F.col("id") + 1).alias("xs"))
+        .select(
+            F.aggregate(
+                "xs", F.lit(0).cast("long"),
+                lambda a, x: a + F.xxhash64(x.cast("string")) % 7,
+            )
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+    edges = spark.range(100).select(
+        F.col("id").alias("src"), (F.col("id") % 10).alias("dst")
+    )
+    connected_components(edges, "src", "dst").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 def _scale_legs(spark, n_clusters: int) -> dict:
