@@ -88,6 +88,77 @@ def test_minhash_deterministic_and_partition_independent(spark):
     assert all(len(v) == 64 for v in s1.values())
 
 
+def test_minhash_fold_matches_python_reference(spark):
+    """The aggregate()-fold signature (md5 portable hash) must equal an
+    exact pure-Python computation of the same math on randomized token
+    multisets — pins the fold arithmetic independent of any Spark
+    expression path."""
+    import hashlib
+
+    from entitymatch_spark.operators.blocking import MERSENNE_31, minhash_coeffs
+
+    rng = random.Random(123)
+    vocab = ["tok%d" % i for i in range(60)] + ["unié%d" % i for i in range(5)]
+    rows = [
+        (i, [rng.choice(vocab) for _ in range(rng.randrange(1, 25))])
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signature(docs, num_hashes=16, seed=7, token_hash="md5").collect()
+    }
+
+    coeffs = minhash_coeffs(16, 7)
+
+    def py_sig(tokens):
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % MERSENNE_31
+            for t in dict.fromkeys(tokens)
+        ]
+        return [min((a * h + b) % MERSENNE_31 for h in hs) for a, b in coeffs]
+
+    for i, toks in rows:
+        assert got[i] == py_sig(toks), i
+
+
+def test_simhash_fold_matches_explode_reference(spark):
+    """The zero-shuffle per-row SimHash fold must equal the explode +
+    64-column signed-sum aggregate it replaced, on randomized token
+    multisets (duplicates included — tf weighting must survive)."""
+    from entitymatch_spark.operators.dedup import simhash_signature
+
+    rng = random.Random(321)
+    vocab = ["w%d" % i for i in range(40)]
+    rows = [
+        (i, [rng.choice(vocab) for _ in range(rng.randrange(1, 30))])
+        for i in range(150)
+    ] + [(999, [])]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+
+    exploded = docs.select(
+        F.col("doc_id"), F.explode("tokens").alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    ref = {r["doc_id"]: r["s"] for r in agg.select("doc_id", sig.alias("s")).collect()}
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signature(docs).collect()}
+    assert got == ref  # 999 (empty) absent from both
+
+
 def test_minhash_similarity_correlation(spark):
     # identical token sets -> identical signatures; disjoint -> collide rarely
     docs = spark.createDataFrame(
