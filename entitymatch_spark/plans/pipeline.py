@@ -76,6 +76,15 @@ class MatchConfig:
     # driver-side collect; at test scale the vocabulary is far smaller
     # than the cap, so nothing is dropped and results are identical.
     idf_max_entries: int | None = 2_000_000
+    # Partition count for the pair table feeding the Arrow scorer.
+    # AQE coalesces shuffle output by BYTES (advisory 64 MB), but the
+    # scoring stage's cost is rows x python-time — on a mid-size corpus
+    # a few-MB pair table coalesces to 1-2 partitions and the Python
+    # scorer runs on 1-2 cores. "auto" repartitions to
+    # 4 x defaultParallelism (cheap: the pair table is narrow);
+    # None leaves AQE's layout (right when pairs are huge and
+    # byte-proportional); an int pins it.
+    score_partitions: int | str | None = "auto"
     seed: int = 42
     cache: bool = True  # persist docs + pairs (reused by several stages)
     id_col: str = "url"
@@ -147,6 +156,13 @@ def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchRes
     # the key table), so there is no multi-reference recompute to avoid
     # and nothing to leak from the cache.
     pairs = candidate_pairs(keys, max_block=cfg.max_block)
+    if cfg.score_partitions is not None:
+        n_part = (
+            4 * pages.sparkSession.sparkContext.defaultParallelism
+            if cfg.score_partitions == "auto"
+            else int(cfg.score_partitions)
+        )
+        pairs = pairs.repartition(n_part)
     if cfg.cache:
         pairs = pairs.persist()
     if cfg.idf_max_entries is not None:
