@@ -3,7 +3,7 @@
 
     {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
-Three subprocess legs (one JVM per master):
+Two subprocess legs (one JVM per master):
 
 1. Scaling evidence (BASELINE.json north_rule: N vs 4N): the scoring
    stage of the record-linkage pipeline on an identical deterministic
@@ -85,13 +85,24 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _warmup(spark, cpus):
-    """Spin up the python worker pool + JIT before any timed stage:
-    the Arrow UDF path, the higher-order-function interpreter (minhash
-    /simhash folds), and the window + localCheckpoint + checksum paths
-    the clustering stage uses — all on toy data, untimed."""
+    """Spin up the python worker pool + whole-stage-codegen/JIT before
+    any timed stage, so the timed numbers measure steady-state
+    throughput rather than one-time compile cost (which a long-running
+    cluster amortizes to zero). Two parts, both on toy data, untimed:
+
+    1. generic paths: the Arrow UDF worker pool and the higher-order-
+       function interpreter (minhash/simhash folds);
+    2. a miniature end-to-end match pipeline (~170 docs) — the SAME
+       operator compositions as the timed run (prepare_docs, posting,
+       IDF, token+LSH keys, single-pass candidate_pairs, Arrow scorer,
+       connected components, assign_clusters), so Janino's codegen
+       cache and the JVM JIT are hot for those exact plan shapes.
+       Micro-profile evidence (scripts/micro_block.py): the blocking
+       stage runs 16.2s cold vs 4.1s on the third identical pass."""
     from pyspark.sql import functions as F
 
-    from entitymatch_spark.operators.clustering import connected_components
+    from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
+    from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
 
     _w = F.pandas_udf(lambda s: s * 1.0, "double")
     (
@@ -110,12 +121,9 @@ def _warmup(spark, cpus):
         )
         .write.format("noop").mode("overwrite").save()
     )
-    edges = spark.range(100).select(
-        F.col("id").alias("src"), (F.col("id") % 10).alias("dst")
-    )
-    connected_components(edges, "src", "dst").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    pages = corpus_to_spark(spark, generate_corpus(n_clusters=50, seed=1))["pages"]
+    res = match_pipeline(pages, MatchConfig(cache=False))
+    res.clusters.write.format("noop").mode("overwrite").save()
 
 
 def _scale_legs(spark, n_clusters: int) -> dict:
