@@ -37,6 +37,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     # (partitionBy u), where the groupBy-mins + join-back form paid two
     # (aggregate shuffle + re-shuffle of the edge side). Same math:
     # m = min(N(u) ∪ {u}); every larger neighbor attaches to m.
+    #
+    # NO output distinct: duplicate (v, m) rows (several u attaching
+    # the same v to the same m) can't change any window-MIN downstream,
+    # and _small_star's output distinct dedupes the round. Dropping it
+    # removes an O(E)-byte shuffle per round — the small-star window
+    # then shuffles O(E) instead of O(V) rows, so total round bytes
+    # strictly shrink (E + V -> E).
     bidir = edges.select(F.col("u"), F.col("v")).union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -45,20 +52,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
         bidir.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     # Window form of the same trick; the self-row {u} joins the
-    # neighbor list via the explicit union (kept distinct so duplicate
-    # oriented edges don't multiply it).
+    # neighbor list via the explicit union. Duplicate self-rows (one
+    # per oriented edge of u, not distinct-ed — that distinct was a
+    # third per-round shuffle) are harmless: they don't move the
+    # window min, and the emitted duplicates collapse in the round's
+    # single output distinct below.
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    nbrs = oriented.unionByName(
-        oriented.select("u", F.col("u").alias("v")).distinct()
-    )
+    nbrs = oriented.unionByName(oriented.select("u", F.col("u").alias("v")))
     w = Window.partitionBy("u")
     return (
         nbrs.withColumn("m", F.min("v").over(w))
@@ -118,12 +125,21 @@ def connected_components(
         # second time to write the files.
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=False)
 
+    # The init cut is load-bearing, not just hygiene: A/B'd removing it
+    # (iterating straight over the caller's lineage) and round 0 went
+    # 0.8s -> 5-12s at bench scale — the un-cut multi-referenced input
+    # re-executes through the upstream plan instead of reading
+    # materialized blocks. The init DISTINCT also right-sizes the
+    # iteration's partitioning: AQE coalesces its shuffle output by
+    # bytes, so a small edge set iterates over a few partitions (128
+    # inherited map partitions cost ~1.3s/round in task overhead)
+    # while a 10^12-doc edge set keeps byte-proportional parallelism.
     e = cut(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    prev = _checksum(e)
+    prev: tuple[int, int] | None = _checksum(e)
     for _ in range(max_iter):
         e = cut(_small_star(_large_star(e)))
         cur = _checksum(e)
