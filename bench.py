@@ -59,6 +59,10 @@ SCALE_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SCALE_CLUSTERS", "1000"))
 # best-of-R per leg: 6 rounds give the interleaved scaling legs enough
 # samples to dodge shared-box neighbor spikes (r1 drift: 0.66-0.81 at R=3)
 SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "6"))
+# best-of-N for the once-per-pipeline block/cluster stages (the score
+# stage already repeats): 2 passes halve the exposure to shared-box
+# weather at ~10s extra untimed wall
+BLOCK_REPEATS = int(os.environ.get("SPARK_GRAFT_BLOCK_REPEATS", "2"))
 
 BENCH_QUERIES = [
     "build_posting",
@@ -241,24 +245,41 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
     fx = generate_corpus(n_clusters=n_clusters, seed=42)
     pages = corpus_to_spark(spark, fx)["pages"]
 
-    t0 = time.perf_counter()
-    docs = prepare_docs(pages, cfg).persist()
-    n_docs = docs.count()
-    posting = build_posting(docs, id_col="doc_id")
-    idf = token_idf(posting, n_docs=n_docs)
-    keys = token_blocking_keys_from_docs(docs, idf, min_idf=cfg.min_idf).unionByName(
-        lsh_band_keys(
-            minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
-            bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+    # Block and cluster run once per pipeline, so a single timing pass
+    # is fully exposed to shared-box weather (observed 6.7s vs 22.0s on
+    # byte-identical code hours apart). Best-of-N with a FRESHLY BUILT
+    # plan per pass: new DataFrame lineage -> new RDDs, so Spark can't
+    # skip stages via existing shuffle files and every pass honestly
+    # recomputes. The losing pass's persists are dropped.
+    t_block = float("inf")
+    docs = idf = pairs = None
+    for _ in range(max(1, BLOCK_REPEATS)):
+        # Drop the previous pass's cache FIRST: Spark's cache manager
+        # substitutes any live cached subtree with an identical
+        # analyzed plan, so a later pass would otherwise "recompute"
+        # by reading the earlier pass's cache (observed: 1.3s for a
+        # 6.7s stage). With the cache gone and a fresh lineage, every
+        # pass pays the full compute.
+        if docs is not None:
+            docs.unpersist()
+            pairs.unpersist()
+        t0 = time.perf_counter()
+        docs = prepare_docs(pages, cfg).persist()
+        n_docs = docs.count()
+        idf = token_idf(build_posting(docs, id_col="doc_id"), n_docs=n_docs)
+        keys = token_blocking_keys_from_docs(docs, idf, min_idf=cfg.min_idf).unionByName(
+            lsh_band_keys(
+                minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
+                bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+            )
+        )  # no persist: candidate_pairs consumes the key table once
+        pairs = (
+            candidate_pairs(keys, max_block=cfg.max_block)
+            .repartition(cpus * 4)
+            .persist()
         )
-    )  # no persist: candidate_pairs consumes the key table once
-    pairs = (
-        candidate_pairs(keys, max_block=cfg.max_block)
-        .repartition(cpus * 4)
-        .persist()
-    )
-    n_pairs = pairs.count()
-    t_block = time.perf_counter() - t0
+        n_pairs = pairs.count()
+        t_block = min(t_block, time.perf_counter() - t0)
 
     idf_map = collect_idf_map(idf)
     # best-of-N on the scoring stage (the throughput-scaling surface):
@@ -277,13 +298,15 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
     scored = score_pairs(pairs, docs, idf_map, weights=cfg.weights).persist()
     scored.count()
 
-    t2 = time.perf_counter()
-    matches = scored.filter(F.col("score") >= cfg.threshold)
-    comps = connected_components(matches.select("id_a", "id_b"), "id_a", "id_b")
-    n_clustered = assign_clusters(docs.select("doc_id"), comps).count()
-    t_cluster = time.perf_counter() - t2
+    t_cluster = float("inf")
+    for _ in range(max(1, BLOCK_REPEATS)):
+        t2 = time.perf_counter()
+        matches = scored.filter(F.col("score") >= cfg.threshold)
+        comps = connected_components(matches.select("id_a", "id_b"), "id_a", "id_b")
+        n_clustered = assign_clusters(docs.select("doc_id"), comps).count()
+        t_cluster = min(t_cluster, time.perf_counter() - t2)
 
-    for df in (docs, keys, pairs, scored):
+    for df in (docs, pairs, scored):
         df.unpersist()
     return {
         "n_docs": n_docs,
