@@ -167,7 +167,17 @@ def _scale_legs(spark, n_clusters: int) -> dict:
 
     legs = {}
     for p in (SCALE_N, SCALE_4N):
-        legs[p] = pairs.repartition(p).persist()
+        # ROUND-ROBIN + local sort, deliberately NOT the pipeline's
+        # hash-by-id_a: at p=4 a hash layout is unbalanced (pairs
+        # concentrate on hot docs; the leg time is max-of-partitions,
+        # so a few % skew reads as lost efficiency) while round-robin
+        # is exactly balanced at any p. The local sort still gives the
+        # scorer's per-batch doc-profile memo its locality. At the
+        # pipeline's 4x-cores partition counts hash imbalance washes
+        # out; at p=4 it would measure hash granularity, not scaling.
+        legs[p] = (
+            pairs.repartition(p).sortWithinPartitions("id_a", "id_b").persist()
+        )
         legs[p].count()
     n_pairs = legs[SCALE_N].count()
     # Methodology guard: "parallelism = partition count of the pair
@@ -273,9 +283,12 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
                 bands=cfg.bands, rows_per_band=cfg.rows_per_band,
             )
         )  # no persist: candidate_pairs consumes the key table once
+        # hash-by-id_a + local sort = per-batch doc-profile locality in
+        # the Arrow scorer (~2x at 10x scale; see plans/pipeline.py)
         pairs = (
             candidate_pairs(keys, max_block=cfg.max_block)
-            .repartition(cpus * 4)
+            .repartition(cpus * 4, "id_a")
+            .sortWithinPartitions("id_a", "id_b")
             .persist()
         )
         n_pairs = pairs.count()

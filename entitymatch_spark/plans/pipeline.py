@@ -162,7 +162,20 @@ def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchRes
             if cfg.score_partitions == "auto"
             else int(cfg.score_partitions)
         )
-        pairs = pairs.repartition(n_part)
+        # Hash-partition by id_a + local sort, NOT round-robin: the
+        # Arrow scorer memoizes per-doc tf-idf/Jaro profiles PER BATCH,
+        # and on a round-robin layout a doc's pairs scatter across all
+        # partitions so nearly every lookup misses (the memo dict also
+        # balloons to one entry per distinct doc per batch — GC
+        # pressure that grows with corpus size, not pair count).
+        # Sorted runs of id_a make the a-side profile a guaranteed hit
+        # and keep the working set small. Measured on a 105k-doc /
+        # 5.1M-pair corpus (scripts/stress_scale.py shape, interleaved
+        # 3-round A/B): 50-56s sorted vs 105-122s round-robin — ~2x.
+        # Skew is bounded: max_block caps any one doc's pair count.
+        pairs = pairs.repartition(n_part, "id_a").sortWithinPartitions(
+            "id_a", "id_b"
+        )
     if cfg.cache:
         pairs = pairs.persist()
     if cfg.idf_max_entries is not None:

@@ -61,7 +61,12 @@ def main():
             rows_per_band=cfg.rows_per_band,
         )
     )
-    pairs = candidate_pairs(keys, max_block=cfg.max_block).repartition(CPUS * 4).persist()
+    pairs = (
+        candidate_pairs(keys, max_block=cfg.max_block)
+        .repartition(CPUS * 4, "id_a")
+        .sortWithinPartitions("id_a", "id_b")
+        .persist()
+    )
     n_pairs = pairs.count()
     t_block = time.perf_counter() - t0
 
