@@ -173,6 +173,14 @@ def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchRes
         # 5.1M-pair corpus (scripts/stress_scale.py shape, interleaved
         # 3-round A/B): 50-56s sorted vs 105-122s round-robin — ~2x.
         # Skew is bounded: max_block caps any one doc's pair count.
+        # CAVEAT: the local sort only materializes through the persist
+        # boundary below (cfg.cache=True, the default) — with
+        # cache=False Catalyst's EliminateSorts drops a Sort under the
+        # hydration joins as semantically unordered, leaving hash
+        # partitioning alone (still co-locates each doc's pairs; the
+        # per-batch hit rate just loses the contiguity bonus). The
+        # resumable path bakes the same layout into written parquet
+        # instead, which has no such exposure (plans/resumable.py).
         pairs = pairs.repartition(n_part, "id_a").sortWithinPartitions(
             "id_a", "id_b"
         )

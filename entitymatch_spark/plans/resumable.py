@@ -67,7 +67,26 @@ def resumable_match_pipeline(
         return keys
 
     keys = ck.stage("keys", _keys)
-    pairs = ck.stage("pairs", lambda: candidate_pairs(keys, max_block=cfg.max_block))
+
+    def _pairs() -> DataFrame:
+        # Same scorer-locality layout as plans/pipeline.py: hash-by-id_a
+        # + local sort. Here the layout is baked into the WRITTEN
+        # parquet (writes preserve per-partition order, and the bucket
+        # filter below preserves file order), so every score bucket
+        # reads sorted runs of id_a and the Arrow scorer's per-batch
+        # doc-profile memo hits — no EliminateSorts exposure, the files
+        # themselves are sorted.
+        out = candidate_pairs(keys, max_block=cfg.max_block)
+        if cfg.score_partitions is not None:
+            n_part = (
+                4 * spark.sparkContext.defaultParallelism
+                if cfg.score_partitions == "auto"
+                else int(cfg.score_partitions)
+            )
+            out = out.repartition(n_part, "id_a").sortWithinPartitions("id_a", "id_b")
+        return out
+
+    pairs = ck.stage("pairs", _pairs)
     # Mirror pipeline.py: honor the broadcast cap (the long-job scenario
     # this resumable path targets is exactly where an unbounded vocab
     # collect would kill the driver).

@@ -187,6 +187,38 @@ def test_streaming_match_plan_is_streamable(spark, tmp_path):
     q.stop()
 
 
+def test_pipeline_pair_layout_hash_sorted(spark):
+    """The scored-pair layout must stay hash-by-id_a + local sort on
+    (id_a, id_b): the Arrow scorer's per-batch doc-profile memo only
+    pays off on sorted runs of id_a (measured ~2x at 105k docs / 5.1M
+    pairs vs round-robin — plans/pipeline.py). A round-robin
+    repartition here would silently regress scoring throughput with
+    corpus size while every row stays correct.
+
+    Two regimes, both pinned: under the default cache=True the sort
+    materializes through the persist boundary; with cache=False
+    Catalyst's EliminateSorts legally drops a Sort under the hydration
+    joins, but the user-requested hash Exchange must still survive."""
+    from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
+    from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+    pages = corpus_to_spark(spark, generate_corpus(n_clusters=12, seed=3))["pages"]
+
+    res = match_pipeline(pages, MatchConfig(score_partitions="auto"))
+    res.scored.count()  # materialize the cache so the plan is final
+    plan = _plan(res.scored)
+    assert "hashpartitioning(id_a" in plan, plan[:2000]
+    assert "Sort [id_a" in plan and "id_b" in plan.split("Sort [id_a")[1][:60], (
+        plan[:2000]
+    )
+    for df in (res.docs, res.pairs, res.scored):
+        df.unpersist()
+
+    res2 = match_pipeline(pages, MatchConfig(score_partitions="auto", cache=False))
+    plan2 = _plan(res2.scored)
+    assert "hashpartitioning(id_a" in plan2, plan2[:2000]
+
+
 def test_scorer_uses_banded_levenshtein(spark):
     """The pair scorer's JVM feature must be the 3-arg banded
     levenshtein (O(band*len)), not the unbounded O(len^2) form."""
