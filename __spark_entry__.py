@@ -128,10 +128,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a small scan out to the session's parallelism.
+
+    Parquet can't split below a row group, and the sandbox sf tables
+    are single-row-group files (~0.6 MB at sf0.1) — so every NARROW
+    per-row stage downstream (tokenize, MinHash/SimHash folds, vector
+    math) would run on ONE core, while the identical plan over a real
+    corpus gets thousands of row-group splits and full parallelism.
+    Rows × CPU is what these stages cost, not bytes (same failure mode
+    as AQE byte-coalescing the pair table — plans/pipeline.py). The
+    explicit-count repartition is AQE-stable and the exchange moves
+    well under a MB here; at scale the partition count already
+    exceeds the threshold and this is a no-op."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entitymatch_spark.functions.text import normalize_text, tokenize
 
-    return _t(spark, sf_dir, "documents").select(
+    return _fan(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", "lang",
         normalize_text("text").alias("norm"),
         tokenize("text").alias("tokens"),
@@ -171,7 +190,7 @@ def _tri_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "embeddings").select(
+    return _fan(spark, _t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
 

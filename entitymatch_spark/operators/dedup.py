@@ -260,12 +260,15 @@ def simhash_dedup_pairs(
         raise ValueError(f"bands must divide 64, got {bands}")
     width = 64 // bands
     mask = (1 << width) - 1
-    # NO persist here, deliberately: the signature plan ends in a shuffle
-    # (the 64-column aggregate), so Spark's ReusedExchange already shares
-    # that materialization across the references below (pair generation
-    # consumes keys once; the a/b hamming-verify joins reuse sigs) — a
-    # .persist() would only add a cache-write barrier (measured 7x
-    # slower at sf0.1).
+    # The signature rides through candidate_pairs as an 8-byte PAYLOAD,
+    # so the whole plan reads the signature fold exactly ONCE: since the
+    # fold became a narrow per-row expression (no exchange), the old
+    # join-back verify recomputed it once per join side (3x total — the
+    # previous no-persist note here predated the fold and relied on
+    # ReusedExchange sharing a shuffle that no longer exists). Measured
+    # at sf0.1 (fanned scan, interleaved): join-back 3.9-7.0s vs
+    # payload ~1.8s; a persist closes most of the gap (2.3-4.0s) but
+    # leaks cached blocks from a lazy operator (ADVICE r2).
     sigs = simhash_signature(docs, id_col, tokens_col)
     band_cols = [
         F.concat(
@@ -274,13 +277,16 @@ def simhash_dedup_pairs(
         )
         for i in range(bands)
     ]
-    keys = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("key"))
-    pairs = candidate_pairs(keys, max_block=max_block, id_col=id_col)
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
+    keys = sigs.select(
+        F.col(id_col), "simhash", F.explode(F.array(*band_cols)).alias("key")
+    )
+    pairs = candidate_pairs(
+        keys, max_block=max_block, id_col=id_col, payload_cols=["simhash"]
+    )
     return (
-        pairs.join(a, "id_a").join(b, "id_b")
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
