@@ -56,9 +56,13 @@ FULL_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 SCALE_4N = 4 * SCALE_N
 SCALE_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SCALE_CLUSTERS", "1000"))
-# best-of-R per leg: 6 rounds give the interleaved scaling legs enough
-# samples to dodge shared-box neighbor spikes (r1 drift: 0.66-0.81 at R=3)
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "6"))
+# best-of-R per leg: enough interleaved rounds to dodge shared-box
+# neighbor spikes (r1 drift: 0.66-0.81 at R=3). ODD on purpose — the
+# efficiency headline is the median round, and an odd count has a true
+# middle element (an even count forces a choice between the upper
+# median, which over-reads, and interpolation, which manufactures a
+# value no round actually measured).
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "7"))
 # best-of-N for the once-per-pipeline block/cluster stages (the score
 # stage already repeats): 2 passes halve the exposure to shared-box
 # weather at ~10s extra untimed wall
@@ -217,6 +221,8 @@ def _scale_legs(spark, n_clusters: int) -> dict:
     # MEDIAN round is the headline: the max round can over-read when
     # the N leg alone catches a contention spike (observed 1.012 —
     # superlinear readings are estimator inflation, not physics).
+    # SCALE_REPEATS is odd so len//2 is the true middle element; with a
+    # user-forced even count this is the upper median (documented bias).
     per_round_eff = sorted(tn / t4 / 4.0 for tn, t4 in rounds)
     eff_median = per_round_eff[len(per_round_eff) // 2]
     eff_best = per_round_eff[-1]

@@ -85,6 +85,14 @@ class MatchConfig:
     # None leaves AQE's layout (right when pairs are huge and
     # byte-proportional); an int pins it.
     score_partitions: int | str | None = "auto"
+    # Minimum partition count for the INPUT scan. Parquet cannot split
+    # below a row group, so a small input (one or few files) floors the
+    # whole narrow front of the pipeline — normalize, tokenize, the
+    # MinHash fold — at one task per file regardless of cluster size.
+    # "auto" fans pages out to defaultParallelism when the scan arrives
+    # below it (a no-op at real corpus scale, where splits ≫ cores);
+    # None trusts the source layout; an int pins a floor.
+    input_partitions: int | str | None = "auto"
     seed: int = 42
     cache: bool = True  # persist docs + pairs (reused by several stages)
     id_col: str = "url"
@@ -119,6 +127,14 @@ class MatchResult:
 
 
 def prepare_docs(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
+    if cfg.input_partitions is not None:
+        floor = (
+            pages.sparkSession.sparkContext.defaultParallelism
+            if cfg.input_partitions == "auto"
+            else int(cfg.input_partitions)
+        )
+        if pages.rdd.getNumPartitions() < floor:
+            pages = pages.repartition(floor)
     return pages.select(
         F.col(cfg.id_col).alias("doc_id"),
         normalize_text(cfg.text_col).alias("norm_text"),
