@@ -61,8 +61,13 @@ SCALE_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SCALE_CLUSTERS", "1000"))
 # efficiency headline is the median round, and an odd count has a true
 # middle element (an even count forces a choice between the upper
 # median, which over-reads, and interpolation, which manufactures a
-# value no round actually measured).
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "7"))
+# value no round actually measured). 9 rounds because observed
+# contention spikes last ~1-2 min and a round is ~45 s: one spike
+# pollutes 2-3 ADJACENT rounds (seen twice on 2026-08-18: medians
+# 0.714/0.779 with exactly two ~60%-slower 4N legs back-to-back,
+# 0.837 minutes earlier on identical code), and the median needs a
+# majority of clean rounds to ignore them.
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "9"))
 # best-of-N for the once-per-pipeline block/cluster stages (the score
 # stage already repeats): 2 passes halve the exposure to shared-box
 # weather at ~10s extra untimed wall
