@@ -972,6 +972,43 @@ def q_match_clusters_lsh(spark, sf):
     )
 
 
+def q_incremental_match(spark, sf):
+    """Batch-incremental growth == full recompute, value-checked: split
+    the corpus 2:1, run the full portable-LSH pipeline on the base
+    two-thirds, then incremental_match the held-out batch
+    (plans/incremental.py — only pairs touching the batch are scored,
+    only clusters a new edge reaches are re-clustered). The oracle is
+    the FULL-RECOMPUTE closure over the whole corpus (same SQL as
+    match_clusters_lsh), so a green row proves the incremental path
+    reproduces the from-scratch result bit-for-bit under the shared
+    frozen IDF dictionary."""
+    from entitymatch_spark.operators.posting import build_posting, token_idf
+    from entitymatch_spark.plans.incremental import incremental_match, initial_state
+    from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
+
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    cfg = MatchConfig(
+        use_lsh=True, cache=False, id_col="url", text_col="text",
+        num_hashes=16, bands=4, rows_per_band=4,
+        minhash_token_hash="md5", lsh_band_hash="concat",
+    )
+    base = pages.filter(F.col("url") % 3 != 0)
+    batch = pages.filter(F.col("url") % 3 == 0)
+    # frozen dictionary over the corpus snapshot (cheap aggregate; the
+    # exactness contract — see plans/incremental.py module docstring)
+    docs_union = prepare_docs(pages, cfg)
+    idf = token_idf(
+        build_posting(docs_union, id_col="doc_id"), n_docs=docs_union.count()
+    )
+    st = initial_state(base, cfg, idf=idf)
+    res = incremental_match(st, batch)
+    return res.state.clusters.select(
+        F.col("doc_id").alias("url_id"), F.col("cluster_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: end-to-end record linkage on sf0.001 documents."""
     from entitymatch_spark.session import ensure_workers_can_import
@@ -1001,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_clusters_token": q_match_clusters_token,
         "match_clusters_lsh": q_match_clusters_lsh,
         "match_clusters": q_match_clusters,
+        # NEW round 3: batch-incremental growth, oracle = full recompute
+        "incremental_match": q_incremental_match,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -1700,6 +1739,23 @@ def oracle_sql() -> dict[str, str]:
                      FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0)"""
         ),
         "match_clusters_lsh": _match_oracle(
+            f"""tokkeys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
+                        FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0),
+            mdist AS (SELECT DISTINCT doc_id, token FROM pos),
+            mh AS (SELECT doc_id,
+                          ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hv
+                   FROM mdist),
+            sig AS (SELECT doc_id, {mh_sig_cols} FROM mh GROUP BY doc_id),
+            lshkeys AS ({mh_band_selects}),
+            keys AS (SELECT doc_id, key FROM tokkeys
+                     UNION ALL SELECT doc_id, key FROM lshkeys)"""
+        ),
+        # incremental growth must equal the from-scratch run under the
+        # shared frozen IDF (plans/incremental.py exactness contract),
+        # so its oracle IS the full-recompute closure — same CTE body
+        # as match_clusters_lsh. A green row value-proves the
+        # incremental path end-to-end.
+        "incremental_match": _match_oracle(
             f"""tokkeys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
                         FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0),
             mdist AS (SELECT DISTINCT doc_id, token FROM pos),

@@ -1,0 +1,275 @@
+"""Batch-incremental record linkage: grow a matched corpus without
+rescoring it.
+
+At 10^12-document scale (BASELINE.json north_star) the corpus is never
+re-matched from scratch — a crawl lands as a batch of new pages and the
+pipeline must (a) score only pairs that TOUCH the batch, (b) leave
+every already-scored old-old pair alone, and (c) update cluster ids
+only for clusters the new matches actually reach. This module does
+exactly that over a persisted :class:`MatchState`.
+
+Per-batch cost (B = batch docs, C = corpus docs):
+
+- blocking keys: O(B) narrow column work (token keys + the MinHash
+  fold are per-row expressions, zero shuffle);
+- old-side lookups: ONE semi-join of the corpus key table against the
+  batch's distinct keys (bucketable by ``key`` on a real deployment,
+  so the corpus side needs no shuffle) — never a scan of old pairs;
+- scoring: only new-new and new-old candidate pairs, through the same
+  Arrow scorer as the full pipeline;
+- clustering: connected components over (new match edges ∪ the star
+  edges of AFFECTED prior clusters only) — clusters untouched by any
+  new edge keep their rows verbatim via an anti-join.
+
+Exactness contract (tested in tests/test_incremental_batch.py and
+value-checked against the full-recompute DuckDB oracle by the
+``incremental_match`` contract query): with the IDF dictionary held
+fixed (an external snapshot passed to :func:`initial_state` — the
+realistic deployment, where the dictionary comes from a reference
+corpus and is refreshed on its own cadence, NOT from each batch),
+
+    incremental_match(initial_state(base), batch).state.clusters
+        == match_pipeline(base ∪ batch).clusters
+
+row for row, PROVIDED no blocking key crosses the ``max_block`` purge
+cap between the base and the union corpus (blocks only ever gain
+members; a key that crosses would retroactively purge base-base pairs
+the incremental run has already matched — transitive clustering is
+monotone and never retracts). New pairs are purged at UNION block
+sizes, exactly like the full run: the semi-join pulls every old member
+of each batch-touched key, so the single-pass block expansion sees the
+whole block.
+
+The reference has no incremental mode (TestMatcher/Program.cs rebuilds
+its index per run); this implements the north_star's "resumes without
+rescoring completed partitions" requirement at the corpus-growth level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entitymatch_spark.operators.blocking import (
+    candidate_pairs,
+    lsh_band_keys,
+    minhash_signature,
+    token_blocking_keys_from_docs,
+)
+from entitymatch_spark.operators.clustering import assign_clusters, connected_components
+from entitymatch_spark.operators.posting import (
+    collect_idf_map,
+    collect_idf_map_bounded,
+)
+from entitymatch_spark.operators.scoring import score_pairs
+from entitymatch_spark.plans.pipeline import (
+    MatchConfig,
+    match_pipeline,
+    prepare_docs,
+)
+
+
+@dataclass
+class MatchState:
+    """The persisted artifacts a grown corpus carries between batches.
+
+    ``keys`` is the RAW (un-purged) blocking-key table: the purge cap
+    is a property of a block's CURRENT size, so it is re-evaluated per
+    batch over union blocks, never baked into the state.
+    """
+
+    docs: DataFrame      # (doc_id, norm_text, tokens)
+    keys: DataFrame      # (doc_id, key) — raw, pre-purge
+    idf: DataFrame       # (token, df, idf) — frozen external dictionary
+    clusters: DataFrame  # (doc_id, cluster_id), cluster_id = min member id
+    cfg: MatchConfig
+
+
+@dataclass
+class IncrementalResult:
+    state: MatchState     # the grown state (docs/keys/clusters updated)
+    new_docs: DataFrame   # prepared batch docs
+    pairs: DataFrame      # candidate pairs touching the batch
+    scored: DataFrame     # pairs + features + score
+    matches: DataFrame    # scored >= threshold
+
+
+def initial_state(
+    pages: DataFrame, cfg: MatchConfig | None = None, idf: DataFrame | None = None
+) -> MatchState:
+    """Full pipeline over the starting corpus, packaged as a state.
+
+    ``idf``: the external dictionary all subsequent batches will be
+    scored under. None computes it from ``pages`` — fine operationally,
+    but then a later full recompute (which would see batch tokens in
+    its own IDF) is no longer the bit-exact oracle of the incremental
+    result; pass a fixed snapshot when that equivalence matters.
+    """
+    cfg = cfg or MatchConfig()
+    res = match_pipeline(pages, cfg, idf=idf)
+    return MatchState(
+        docs=res.docs, keys=res.keys, idf=res.idf,
+        clusters=res.clusters, cfg=cfg,
+    )
+
+
+def _batch_keys(new_docs: DataFrame, state: MatchState) -> DataFrame:
+    cfg = state.cfg
+    keys = token_blocking_keys_from_docs(new_docs, state.idf, min_idf=cfg.min_idf)
+    if cfg.use_lsh:
+        sigs = minhash_signature(
+            new_docs, id_col="doc_id", tokens_col="tokens",
+            num_hashes=cfg.num_hashes, seed=cfg.seed,
+            token_hash=cfg.minhash_token_hash,
+        )
+        keys = keys.unionByName(
+            lsh_band_keys(
+                sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+                band_hash=cfg.lsh_band_hash,
+            )
+        )
+    return keys
+
+
+def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalResult:
+    """Match a batch of new pages against the state without touching
+    old-old pairs. See the module docstring for cost and exactness."""
+    cfg = state.cfg
+    new_docs = prepare_docs(new_pages, cfg)
+    if cfg.cache:
+        new_docs = new_docs.persist()
+
+    new_keys = _batch_keys(new_docs, state)
+
+    # Blocks that can produce a NEW pair are exactly the blocks holding
+    # >= 1 batch doc. The semi-join pulls every old member of those
+    # keys, so block sizes (and therefore the max_block purge) are
+    # evaluated at UNION size — identical to a full recompute.
+    batch_block_keys = new_keys.select("key").distinct()
+    old_in_blocks = state.keys.join(batch_block_keys, "key", "semi")
+    sub = old_in_blocks.withColumn("is_new", F.lit(False)).unionByName(
+        new_keys.withColumn("is_new", F.lit(True))
+    )
+    # is_new rides the single-pass block expansion as a payload, so
+    # old-old pairs inside shared blocks (already scored in the base
+    # run) drop out with zero extra joins.
+    pairs = (
+        candidate_pairs(sub, max_block=cfg.max_block, payload_cols=["is_new"])
+        .filter(F.col("is_new_a") | F.col("is_new_b"))
+        .select("id_a", "id_b", "n_keys")
+    )
+    if cfg.score_partitions is not None:
+        n_part = (
+            4 * new_pages.sparkSession.sparkContext.defaultParallelism
+            if cfg.score_partitions == "auto"
+            else int(cfg.score_partitions)
+        )
+        # same layout as the full pipeline: hash by id_a + local sort
+        # keeps the Arrow scorer's per-doc profile memo hot (see the
+        # measured rationale in plans/pipeline.py).
+        pairs = pairs.repartition(n_part, "id_a").sortWithinPartitions("id_a", "id_b")
+    if cfg.cache:
+        pairs = pairs.persist()
+
+    # Hydrate only docs that appear in a new pair: a semi-join against
+    # the (small) touched-id set, not a full-corpus scan. On a real
+    # deployment docs are bucketed by doc_id so this is shuffle-free on
+    # the corpus side.
+    docs_union = state.docs.unionByName(new_docs)
+    touched = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_needed = docs_union.join(touched, "doc_id", "semi")
+
+    if cfg.idf_max_entries is not None:
+        idf_map, default_idf = collect_idf_map_bounded(state.idf, cfg.idf_max_entries)
+    else:
+        idf_map, default_idf = collect_idf_map(state.idf), 1e-5
+    scored = score_pairs(
+        pairs, docs_needed, idf_map,
+        weights=cfg.weights, lev_prefix=cfg.lev_prefix,
+        cascade_min_jaccard=cfg.cascade_min_jaccard,
+        default_idf=default_idf,
+    )
+    matches = scored.filter(F.col("score") >= cfg.threshold)
+
+    clusters = _merge_clusters(state.clusters, matches, new_docs)
+
+    new_state = MatchState(
+        docs=docs_union,
+        keys=state.keys.unionByName(new_keys),
+        idf=state.idf,
+        clusters=clusters,
+        cfg=cfg,
+    )
+    return IncrementalResult(
+        state=new_state, new_docs=new_docs, pairs=pairs,
+        scored=scored, matches=matches,
+    )
+
+
+def _merge_clusters(
+    prior: DataFrame, matches: DataFrame, new_docs: DataFrame
+) -> DataFrame:
+    """Fold new match edges into prior clusters, touching only clusters
+    a new edge reaches.
+
+    Prior clusters enter connected components as STAR edges
+    (member -> cluster_id): stars preserve both connectivity and the
+    component minimum (cluster_id IS the min member id), so CC over
+    (affected stars ∪ new edges) reproduces the full-graph components
+    for the affected subgraph — in ~1 round, since stars are already
+    collapsed. Unaffected clusters never enter the plan: their rows
+    pass through an anti-join verbatim.
+    """
+    new_edges = matches.select("id_a", "id_b")
+    endpoint_ids = (
+        new_edges.select(F.col("id_a").alias("doc_id"))
+        .unionByName(new_edges.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    affected = (
+        prior.join(endpoint_ids, "doc_id", "semi").select("cluster_id").distinct()
+    )
+    affected_members = prior.join(affected, "cluster_id", "semi")
+    stars = affected_members.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    components = connected_components(
+        stars.unionByName(new_edges), src="id_a", dst="id_b"
+    )
+    changed_ids = affected_members.select("doc_id").unionByName(
+        new_docs.select("doc_id")
+    )
+    changed = assign_clusters(changed_ids, components)
+    unchanged = prior.join(affected, "cluster_id", "left_anti")
+    return unchanged.unionByName(changed)
+
+
+# --- state persistence -------------------------------------------------
+
+_PARTS = ("docs", "keys", "idf", "clusters")
+
+
+def save_state(state: MatchState, path: str) -> None:
+    """Write the state's four tables as parquet under ``path``.
+
+    ``clusters`` is an iterative result (connected components), so the
+    write doubles as its durable materialization — the natural batch
+    boundary a nightly-crawl job commits at. On Iceberg deployments use
+    sources.readers.write_table per part instead; parquet keeps the
+    local form dependency-free.
+    """
+    for part in _PARTS:
+        getattr(state, part).write.mode("overwrite").parquet(f"{path}/{part}")
+
+
+def load_state(
+    spark: SparkSession, path: str, cfg: MatchConfig | None = None
+) -> MatchState:
+    dfs = {part: spark.read.parquet(f"{path}/{part}") for part in _PARTS}
+    return MatchState(cfg=cfg or MatchConfig(), **dfs)

@@ -142,7 +142,13 @@ def prepare_docs(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
     )
 
 
-def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchResult:
+def match_pipeline(
+    pages: DataFrame, cfg: MatchConfig | None = None, idf: DataFrame | None = None
+) -> MatchResult:
+    """``idf``: optional external dictionary (token, df, idf) — e.g. a
+    snapshot computed over a reference corpus, the contract that makes
+    batch-incremental growth exact (plans/incremental.py). Default
+    (None) computes IDF over ``pages`` itself, unchanged."""
     cfg = cfg or MatchConfig()
     docs = prepare_docs(pages, cfg)
     if cfg.cache:
@@ -150,7 +156,8 @@ def match_pipeline(pages: DataFrame, cfg: MatchConfig | None = None) -> MatchRes
     n_docs = docs.count()
 
     posting = build_posting(docs, id_col="doc_id")
-    idf = token_idf(posting, n_docs=n_docs)
+    if idf is None:
+        idf = token_idf(posting, n_docs=n_docs)
 
     # narrow form: per-doc array_distinct + broadcast rare-token join,
     # no global distinct shuffle (token_blocking_keys_from_docs docstring)

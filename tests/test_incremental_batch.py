@@ -1,0 +1,114 @@
+"""Batch-incremental matching: exact equivalence with a full recompute
+under a frozen IDF dictionary (plans/incremental.py contract), pair
+algebra (no old-old pair ever rescored), cluster-merge locality, and
+state save/load."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatch_spark.operators.posting import build_posting, token_idf
+from entitymatch_spark.plans.incremental import (
+    incremental_match,
+    initial_state,
+    load_state,
+    save_state,
+)
+from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline, prepare_docs
+from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    fx = generate_corpus(n_clusters=60, seed=7)
+    pages = corpus_to_spark(spark, fx)["pages"]
+    cfg = MatchConfig(cache=False)
+    # deterministic ~1/3 batch split
+    is_batch = F.pmod(F.xxhash64("url"), F.lit(3)) == 0
+    base, batch = pages.filter(~is_batch), pages.filter(is_batch)
+    # frozen external dictionary over the union snapshot — the contract
+    # under which incremental == full recompute is exact
+    union_docs = prepare_docs(pages, cfg)
+    idf = token_idf(
+        build_posting(union_docs, id_col="doc_id"), n_docs=union_docs.count()
+    )
+
+    full = match_pipeline(pages, cfg, idf=idf)
+    st0 = initial_state(base, cfg, idf=idf)
+    inc = incremental_match(st0, batch)
+    return dict(
+        pages=pages, base=base, batch=batch, cfg=cfg, idf=idf,
+        full=full, st0=st0, inc=inc,
+    )
+
+
+def _clusters(df):
+    return sorted((r.doc_id, r.cluster_id) for r in df.collect())
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_incremental_equals_full_recompute(setup):
+    assert _clusters(setup["inc"].state.clusters) == _clusters(
+        setup["full"].clusters
+    )
+
+
+def test_pair_algebra(setup):
+    """incremental pairs == full-run pairs minus base-run pairs, and
+    every incremental pair touches a batch doc (no old-old rescoring)."""
+    base_pairs = _pairs(
+        match_pipeline(setup["base"], setup["cfg"], idf=setup["idf"]).pairs
+    )
+    full_pairs = _pairs(setup["full"].pairs)
+    inc_pairs = _pairs(setup["inc"].pairs)
+    assert inc_pairs == full_pairs - base_pairs
+    batch_ids = {
+        r.url for r in setup["batch"].select("url").collect()
+    }
+    assert all(a in batch_ids or b in batch_ids for a, b in inc_pairs)
+
+
+def test_no_cap_crossing_on_fixture(setup):
+    """The equivalence precondition: no key under the purge cap in the
+    base corpus crosses it in the union (module docstring caveat)."""
+    cap = setup["cfg"].max_block
+    base_sz = (
+        setup["st0"].keys.groupBy("key").agg(F.count("*").alias("nb"))
+    )
+    union_sz = (
+        setup["inc"].state.keys.groupBy("key").agg(F.count("*").alias("nu"))
+    )
+    crossed = (
+        base_sz.join(union_sz, "key")
+        .filter((F.col("nb") <= cap) & (F.col("nu") > cap))
+        .count()
+    )
+    assert crossed == 0
+
+
+def test_unrelated_batch_leaves_clusters_verbatim(spark, setup):
+    """A batch that matches nothing adds singletons and changes no
+    prior cluster row."""
+    batch = spark.createDataFrame(
+        [(f"zz://new/{i}", f"qqq{i}x wwww{i}y unseen{i}z token{i}q") for i in range(5)],
+        "url string, text string",
+    )
+    before = _clusters(setup["st0"].clusters)
+    res = incremental_match(setup["st0"], batch)
+    after = _clusters(res.state.clusters)
+    assert res.matches.count() == 0
+    new_rows = sorted(set(after) - set(before))
+    assert new_rows == sorted((f"zz://new/{i}", f"zz://new/{i}") for i in range(5))
+    assert sorted(set(before) - set(after)) == []
+
+
+def test_state_save_load_roundtrip(spark, tmp_path, setup):
+    path = str(tmp_path / "state")
+    save_state(setup["st0"], path)
+    loaded = load_state(spark, path, setup["cfg"])
+    res = incremental_match(loaded, setup["batch"])
+    assert _clusters(res.state.clusters) == _clusters(setup["full"].clusters)
