@@ -1009,6 +1009,39 @@ def q_incremental_match(spark, sf):
     )
 
 
+def q_blocking_stats(spark, sf):
+    """Blocking observability (operators/evaluate.py): per key family
+    (token vs LSH band), block counts, purge counts at the max_block
+    cap, and the exact pre-dedup candidate-pair volume the surviving
+    blocks generate — the dial-tuning numbers an operator reads before
+    paying for a scoring run. Portable hash variant so the oracle
+    reproduces the key table bit-for-bit."""
+    from entitymatch_spark.operators.blocking import (
+        lsh_band_keys,
+        minhash_signature,
+        token_blocking_keys_from_docs,
+    )
+    from entitymatch_spark.operators.evaluate import blocking_stats
+    from entitymatch_spark.operators.posting import build_posting, token_idf
+    from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
+
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    cfg = MatchConfig(cache=False, id_col="url", text_col="text")
+    docs = prepare_docs(pages, cfg)
+    idf = token_idf(build_posting(docs, id_col="doc_id"), n_docs=docs.count())
+    keys = token_blocking_keys_from_docs(docs, idf, min_idf=1.0).unionByName(
+        lsh_band_keys(
+            minhash_signature(
+                docs, num_hashes=16, seed=cfg.seed, token_hash="md5"
+            ),
+            bands=4, rows_per_band=4, band_hash="concat",
+        )
+    )
+    return blocking_stats(keys, max_block=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: end-to-end record linkage on sf0.001 documents."""
     from entitymatch_spark.session import ensure_workers_can_import
@@ -1040,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_clusters": q_match_clusters,
         # NEW round 3: batch-incremental growth, oracle = full recompute
         "incremental_match": q_incremental_match,
+        # NEW round 3: blocking observability over the portable key table
+        "blocking_stats": q_blocking_stats,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -1767,6 +1802,28 @@ def oracle_sql() -> dict[str, str]:
             keys AS (SELECT doc_id, key FROM tokkeys
                      UNION ALL SELECT doc_id, key FROM lshkeys)"""
         ),
+        "blocking_stats": f"""
+            WITH {POS_CTE}, {IDF_CTE},
+            tokkeys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
+                        FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0),
+            mdist AS (SELECT DISTINCT doc_id, token FROM pos),
+            mh AS (SELECT doc_id,
+                          ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hv
+                   FROM mdist),
+            sig AS (SELECT doc_id, {mh_sig_cols} FROM mh GROUP BY doc_id),
+            lshkeys AS ({mh_band_selects}),
+            keys AS (SELECT doc_id, key FROM tokkeys
+                     UNION ALL SELECT doc_id, key FROM lshkeys),
+            sizes AS (SELECT key, count(*) AS n FROM keys GROUP BY key)
+            SELECT regexp_extract(key, '^([a-z]+)', 1) AS family,
+                   count(*) AS n_keys,
+                   sum(CASE WHEN n BETWEEN 2 AND 64 THEN 1 ELSE 0 END)::BIGINT AS n_pair_blocks,
+                   sum(CASE WHEN n > 64 THEN 1 ELSE 0 END)::BIGINT AS n_purged,
+                   sum(CASE WHEN n BETWEEN 2 AND 64 THEN n * (n - 1) / 2 ELSE 0 END)::BIGINT AS cand_pairs,
+                   max(n) AS max_block,
+                   round(avg(n), 4) AS avg_block
+            FROM sizes GROUP BY 1
+        """,
         "agg_lineitem": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

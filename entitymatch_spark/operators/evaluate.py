@@ -1,0 +1,107 @@
+"""Match-quality and blocking observability, computed distributed.
+
+The north_rule's acceptance metric is pairwise F1 >= 0.99 on labeled
+same-blocking-key pairs; at 10^12-doc scale the labeled set itself can
+be millions of pairs, so evaluation must be a relational plan, not a
+driver-side pandas pass (tests/test_match_e2e.py keeps its small
+pandas computation as the independent cross-check of this operator).
+
+``blocking_stats`` is the observability half: per key family (token
+vs LSH band), how many blocks exist, how many are purged by the
+``max_block`` cap, and how many candidate pairs the surviving blocks
+generate — the numbers an operator watches to tune min_idf / bands /
+max_block before paying for a scoring run. One narrow aggregation over
+the key table; no pair materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_metrics(
+    matches: DataFrame,
+    labels: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    label_col: str = "is_match",
+) -> DataFrame:
+    """One row: (tp, fp, fn, precision, recall, f1) of predicted match
+    pairs against labeled pairs.
+
+    ``matches``: predicted matched pairs (e.g. MatchResult.matches).
+    ``labels``: labeled pairs with a boolean ``label_col``. Labeled
+    pairs absent from ``matches`` count as predicted non-matches (the
+    blocking-miss convention of the north_rule: an unblocked pair was
+    never scored, so the pipeline predicted non-match). Pair order is
+    normalized on both sides, so (a,b)/(b,a) duplicates collapse.
+    """
+    def canon(df: DataFrame, a: str, b: str) -> DataFrame:
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("id_a"),
+            F.greatest(F.col(a), F.col(b)).alias("id_b"),
+            *[c for c in df.columns if c not in (a, b)],
+        )
+
+    lab = canon(labels, id_a, id_b).select("id_a", "id_b", label_col)
+    pred = (
+        canon(matches, id_a, id_b)
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("__pred", F.lit(True))
+    )
+    j = lab.join(pred, ["id_a", "id_b"], "left").select(
+        F.col(label_col).alias("truth"),
+        F.coalesce("__pred", F.lit(False)).alias("pred"),
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("truth") & F.col("pred"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("truth") & F.col("pred"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("truth") & ~F.col("pred"), 1).otherwise(0)).alias("fn"),
+    )
+    p = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    r = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    return agg.select(
+        "tp", "fp", "fn",
+        p.alias("precision"),
+        r.alias("recall"),
+        F.when(
+            p + r > 0, 2 * p * r / (p + r)
+        ).otherwise(F.lit(0.0)).alias("f1"),
+    )
+
+
+def blocking_stats(
+    keys: DataFrame, max_block: int = 64, family_pattern: str = r"^([a-z]+)"
+) -> DataFrame:
+    """Per key-family block statistics from a (doc_id, key) table.
+
+    Family = leading letters of the key ('tok' for token keys, 'lsh'
+    for every LSH band — the band index digits are excluded by the
+    pattern, collapsing the bands into one family).
+
+    Columns per family: n_keys (distinct keys), n_pair_blocks (size
+    2..max_block — the blocks that will generate pairs), n_purged
+    (> max_block — dropped by the purge), cand_pairs (sum n*(n-1)/2
+    over pair blocks: the exact pre-dedup candidate volume the scorer
+    would see), max_block (largest block), avg_block (mean size,
+    4 decimals). Cost: one groupBy(key) + one tiny groupBy(family).
+    """
+    sizes = keys.groupBy("key").agg(F.count("*").alias("n"))
+    pairable = (F.col("n") >= 2) & (F.col("n") <= max_block)
+    return (
+        sizes.groupBy(
+            F.regexp_extract("key", family_pattern, 1).alias("family")
+        )
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(pairable.cast("long")).alias("n_pair_blocks"),
+            F.sum((F.col("n") > max_block).cast("long")).alias("n_purged"),
+            F.sum(
+                F.when(pairable, F.col("n") * (F.col("n") - 1) / 2).otherwise(0)
+            ).cast("long").alias("cand_pairs"),
+            F.max("n").alias("max_block"),
+            F.round(F.avg("n"), 4).alias("avg_block"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Distributed evaluation operators vs independent driver-side math."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatch_spark.operators.evaluate import blocking_stats, pair_metrics
+from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
+from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    fx = generate_corpus(n_clusters=60, seed=13)
+    dfs = corpus_to_spark(spark, fx)
+    res = match_pipeline(dfs["pages"], MatchConfig(cache=False))
+    return fx, res
+
+
+def test_pair_metrics_equals_pandas(spark, fixture):
+    """The relational tp/fp/fn/P/R/F1 must equal the independent pandas
+    computation used by the e2e acceptance test."""
+    fx, res = fixture
+    labels = (
+        spark.createDataFrame(fx.labels[["url_a", "url_b", "is_match"]])
+        .withColumnRenamed("url_a", "id_a")
+        .withColumnRenamed("url_b", "id_b")
+    )
+    got = pair_metrics(res.matches, labels).collect()[0]
+
+    # independent: same convention (unscored labeled pair = non-match)
+    matched = {
+        tuple(sorted((r.id_a, r.id_b))) for r in res.matches.select("id_a", "id_b").collect()
+    }
+    tp = fp = fn = 0
+    for r in fx.labels.itertuples():
+        pred = tuple(sorted((r.url_a, r.url_b))) in matched
+        if r.is_match and pred:
+            tp += 1
+        elif not r.is_match and pred:
+            fp += 1
+        elif r.is_match and not pred:
+            fn += 1
+    assert (got.tp, got.fp, got.fn) == (tp, fp, fn)
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    assert got.precision == pytest.approx(prec)
+    assert got.recall == pytest.approx(rec)
+    assert got.f1 == pytest.approx(f1)
+    # the north_rule gate itself, through the distributed operator
+    assert got.f1 >= 0.99
+
+
+def test_pair_metrics_order_normalization(spark):
+    matches = spark.createDataFrame([("b", "a")], "id_a string, id_b string")
+    labels = spark.createDataFrame(
+        [("a", "b", True), ("c", "d", True), ("a", "c", False)],
+        "id_a string, id_b string, is_match boolean",
+    )
+    row = pair_metrics(matches, labels).collect()[0]
+    assert (row.tp, row.fp, row.fn) == (1, 0, 1)
+
+
+def test_blocking_stats_counts(spark, fixture):
+    """Stats must reconcile with directly computed block sizes."""
+    _, res = fixture
+    cap = 5
+    stats = {r.family: r for r in blocking_stats(res.keys, max_block=cap).collect()}
+    sizes = (
+        res.keys.groupBy("key").agg(F.count("*").alias("n"))
+        .withColumn("family", F.regexp_extract("key", r"^([a-z]+)", 1))
+        .collect()
+    )
+    for fam in {r.family for r in sizes}:
+        ns = [r.n for r in sizes if r.family == fam]
+        s = stats[fam]
+        assert s.n_keys == len(ns)
+        assert s.n_pair_blocks == sum(1 for n in ns if 2 <= n <= cap)
+        assert s.n_purged == sum(1 for n in ns if n > cap)
+        assert s.cand_pairs == sum(n * (n - 1) // 2 for n in ns if 2 <= n <= cap)
+        assert s.max_block == max(ns)
+    assert set(stats) == {"tok", "lsh"}
