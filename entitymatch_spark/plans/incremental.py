@@ -43,6 +43,12 @@ whole block.
 The reference has no incremental mode (TestMatcher/Program.cs rebuilds
 its index per run); this implements the north_star's "resumes without
 rescoring completed partitions" requirement at the corpus-growth level.
+
+Relation to streaming/incremental.py: the streaming function of the
+same name scores a micro-batched page STREAM against a static indexed
+corpus (stream-vs-static joins, no cluster updates); this module is
+the batch form that also grows the state — keys, docs, and merged
+cluster ids — with a provable full-recompute equivalence.
 """
 
 from __future__ import annotations

@@ -76,7 +76,10 @@ def incremental_match(
     event_time_col: str = "warc_ts",
 ) -> DataFrame:
     """Streaming record linkage: score newly arrived pages against the
-    already-indexed corpus, with the SAME keys and the SAME scorer as
+    already-indexed corpus. (Stream-vs-static scoring only; for BATCH
+    corpus growth that also merges cluster state and proves equality
+    with a full recompute, see plans/incremental.py's function of the
+    same name.) Uses the SAME keys and the SAME scorer as
     the batch pipeline (batch/stream parity by shared code, not by
     re-implementation).
 
