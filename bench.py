@@ -137,6 +137,16 @@ def _warmup(spark, cpus):
     pages = corpus_to_spark(spark, generate_corpus(n_clusters=50, seed=1))["pages"]
     res = match_pipeline(pages, MatchConfig(cache=False))
     res.clusters.write.format("noop").mode("overwrite").save()
+    # incremental shapes too (asymmetric block expansion, cluster
+    # merge): the incremental leg otherwise pays their one-time
+    # codegen in its timed window (measured ~6s of a first pass)
+    from entitymatch_spark.plans.incremental import incremental_match, initial_state
+
+    wb = F.pmod(F.xxhash64("url"), F.lit(5)) == 0
+    st = initial_state(pages.filter(~wb), MatchConfig(cache=False))
+    incremental_match(st, pages.filter(wb)).state.clusters.write.format(
+        "noop"
+    ).mode("overwrite").save()
 
 
 def _scale_legs(spark, n_clusters: int) -> dict:
@@ -344,6 +354,77 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
     }
 
 
+def _incremental_stage(spark, n_clusters: int) -> dict:
+    """Batch-incremental growth cost: time matching a ~10% batch into a
+    standing corpus (plans/incremental.py) — the operation a daily
+    crawl pays — against the full-recompute e2e number reported
+    alongside. The state is loaded from parquet exactly as a real
+    deployment would (build + save are untimed): the timed leg pays
+    batch key construction, the key/doc semi-joins against the stored
+    tables, scoring of batch-touching pairs, and the affected-cluster
+    merge. Best-of-N like the other once-per-pipeline stages."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from entitymatch_spark.plans.incremental import (
+        incremental_match, initial_state, load_state, save_state,
+    )
+    from entitymatch_spark.plans.pipeline import MatchConfig
+    from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
+
+    cfg = MatchConfig()
+    fx = generate_corpus(n_clusters=n_clusters, seed=42)
+    pages = corpus_to_spark(spark, fx)["pages"]
+    # The batch holds out ~10% of ENTITIES (whole ground-truth
+    # clusters): the dominant growth regime for a crawl is new content
+    # arriving, which touches only the blocks its own tokens/bands
+    # reach. A uniform 10% doc resample is the worst case instead —
+    # every block and nearly every doc gets touched, and the batch
+    # costs close to a full run; that regime is exercised (and proven
+    # exact) by tests/test_incremental_batch.py, while the bench
+    # measures the operation as deployed.
+    is_batch = F.pmod(F.xxhash64(F.col("cluster_id").cast("string")), F.lit(10)) == 0
+    base, batch = pages.filter(~is_batch), pages.filter(is_batch)
+    n_batch = batch.count()
+
+    # The scale claim is corpus-size INDEPENDENCE: the SAME batch is
+    # matched into the base corpus and into one ~3x its size (extra
+    # disjoint entities, same vocabulary family — they share blocks but
+    # not matches, exactly like unrelated web pages). The batch cost
+    # should track the batch's blocking degree, not the corpus size:
+    # ratio_3x near 1.0 is the evidence, vs a full recompute whose cost
+    # triples.
+    filler = corpus_to_spark(
+        spark,
+        generate_corpus(
+            n_clusters=2 * n_clusters, seed=77, cluster_id_offset=n_clusters
+        ),
+    )["pages"]
+    out = {"incr_batch_docs": n_batch}
+    for tag, corpus in (("", base), ("_3x", base.unionByName(filler))):
+        state_dir = tempfile.mkdtemp(prefix="bench_state_")
+        st0 = initial_state(corpus, cfg)  # untimed standing corpus
+        save_state(st0, state_dir)
+        st0.docs.unpersist()
+        t_incr, n_total = float("inf"), 0
+        for _ in range(max(1, BLOCK_REPEATS)):
+            st = load_state(spark, state_dir, cfg)
+            t0 = time.perf_counter()
+            res = incremental_match(st, batch)
+            n_total = res.state.clusters.count()
+            t_incr = min(t_incr, time.perf_counter() - t0)
+            for df in (res.new_docs, res.pairs):
+                df.unpersist()
+        shutil.rmtree(state_dir, ignore_errors=True)
+        out[f"incr_total_docs{tag}"] = n_total
+        out[f"incr_batch_sec{tag}"] = round(t_incr, 3)
+    out["incr_ratio_3x"] = round(
+        out["incr_batch_sec_3x"] / out["incr_batch_sec"], 3
+    )
+    return out
+
+
 def child_main(cpus: int, mode: str, out_path: str) -> None:
     from entitymatch_spark.session import get_spark
 
@@ -372,6 +453,9 @@ def child_main(cpus: int, mode: str, out_path: str) -> None:
         timings["pipeline_block_stage"] = result["block_sec"]
         timings["pipeline_score_stage"] = result["score_sec"]
         timings["pipeline_cluster_stage"] = result["cluster_sec"]
+        incr = _incremental_stage(spark, max(50, int(30000 * sf)))
+        result.update(incr)
+        timings["incremental_10pct_batch"] = incr["incr_batch_sec"]
         result["queries"] = timings
 
     spark.stop()
@@ -409,6 +493,15 @@ def main() -> None:
         "n_docs": full["n_docs"],
         "n_pairs": full["n_pairs"],
         "pairs_scored_per_sec": full["pairs_scored_per_sec"],
+        "incremental": {
+            "batch_docs": full["incr_batch_docs"],
+            "total_docs": full["incr_total_docs"],
+            "total_docs_3x": full["incr_total_docs_3x"],
+            "batch_sec": full["incr_batch_sec"],
+            "batch_sec_3x": full["incr_batch_sec_3x"],
+            "ratio_3x": full["incr_ratio_3x"],
+            "vs_full_e2e": round(full["incr_batch_sec"] / full["e2e_sec"], 3),
+        },
         "scaling": {
             "method": (
                 f"one local[{SCALE_4N}] session; task parallelism bounded by "

@@ -59,7 +59,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entitymatch_spark.operators.blocking import (
-    candidate_pairs,
     lsh_band_keys,
     minhash_signature,
     token_blocking_keys_from_docs,
@@ -158,13 +157,46 @@ def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalRes
     sub = old_in_blocks.withColumn("is_new", F.lit(False)).unionByName(
         new_keys.withColumn("is_new", F.lit(True))
     )
-    # is_new rides the single-pass block expansion as a payload, so
-    # old-old pairs inside shared blocks (already scored in the base
-    # run) drop out with zero extra joins.
+    # Asymmetric single-pass block expansion: each block's members are
+    # collected into separate old/new lists and only new x old plus
+    # new x new pairs are generated — a block of k old + b new members
+    # emits b*k + b(b-1)/2 rows instead of the (k+b)^2/2 a generic
+    # expansion-then-filter would (measured: a uniform 10% batch at
+    # bench scale touches nearly EVERY block, so the filter form
+    # regenerated ~all old-old pairs only to drop them — the whole
+    # blocking stage's cost for a tenth of the output). Purge is
+    # evaluated on the combined size, so it still matches the full
+    # run; n_keys counts one per shared block, exactly like
+    # candidate_pairs.
+    blocks = (
+        sub.groupBy("key")
+        .agg(
+            F.collect_list(F.when(F.col("is_new"), F.col("doc_id"))).alias("new_ids"),
+            F.collect_list(F.when(~F.col("is_new"), F.col("doc_id"))).alias("old_ids"),
+        )
+        .filter(
+            (F.size("new_ids") >= 1)
+            & ((F.size("new_ids") + F.size("old_ids")) >= 2)
+            & ((F.size("new_ids") + F.size("old_ids")) <= cfg.max_block)
+        )
+    )
+    new_old = (
+        blocks.select(F.explode("new_ids").alias("n"), "old_ids")
+        .select("n", F.explode("old_ids").alias("o"))
+        .select(
+            F.least("n", "o").alias("id_a"), F.greatest("n", "o").alias("id_b")
+        )
+    )
+    new_new = (
+        blocks.select("new_ids", F.explode("new_ids").alias("a"))
+        .select("a", F.explode("new_ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    )
     pairs = (
-        candidate_pairs(sub, max_block=cfg.max_block, payload_cols=["is_new"])
-        .filter(F.col("is_new_a") | F.col("is_new_b"))
-        .select("id_a", "id_b", "n_keys")
+        new_old.unionByName(new_new)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_keys"))
     )
     if cfg.score_partitions is not None:
         n_part = (
@@ -179,24 +211,20 @@ def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalRes
     if cfg.cache:
         pairs = pairs.persist()
 
-    # Hydrate only docs that appear in a new pair: a semi-join against
-    # the (small) touched-id set, not a full-corpus scan. On a real
-    # deployment docs are bucketed by doc_id so this is shuffle-free on
-    # the corpus side.
+    # Hydration runs against the full doc table: the scorer's equi-joins
+    # on id_a/id_b already touch only docs that appear in a pair, so a
+    # prune-first semi-join would just add a pass (measured: a semi-join
+    # "optimization" here cost 9.8s vs 3.7s without, re-evaluated once
+    # per hydration side). On a real deployment docs are bucketed by
+    # doc_id, making the joins shuffle-free on the corpus side.
     docs_union = state.docs.unionByName(new_docs)
-    touched = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    docs_needed = docs_union.join(touched, "doc_id", "semi")
 
     if cfg.idf_max_entries is not None:
         idf_map, default_idf = collect_idf_map_bounded(state.idf, cfg.idf_max_entries)
     else:
         idf_map, default_idf = collect_idf_map(state.idf), 1e-5
     scored = score_pairs(
-        pairs, docs_needed, idf_map,
+        pairs, docs_union, idf_map,
         weights=cfg.weights, lev_prefix=cfg.lev_prefix,
         cascade_min_jaccard=cfg.cascade_min_jaccard,
         default_idf=default_idf,
@@ -231,15 +259,30 @@ def _merge_clusters(
     for the affected subgraph — in ~1 round, since stars are already
     collapsed. Unaffected clusters never enter the plan: their rows
     pass through an anti-join verbatim.
+
+    ``matches`` sits atop the whole blocking + Arrow-scoring chain and
+    is referenced by several branches here (endpoints, affected set,
+    CC input) — each branch would re-execute that chain, so the edge
+    set is materialized ONCE with an eager localCheckpoint (it is
+    small: matched pairs only). ``affected`` gets the same cut: it is
+    read by three branches and sits atop a scan of ``prior``.
+    ``prior`` itself is deliberately NOT cached — at corpus scale it
+    is a stored table, and the few narrow scans of it here are the
+    honest cost (measured: without these two cuts the bench's
+    incremental leg re-ran the scorer 4x, 63s for a batch whose
+    single-pass cost is a few seconds).
     """
-    new_edges = matches.select("id_a", "id_b")
+    new_edges = matches.select("id_a", "id_b").localCheckpoint(eager=True)
     endpoint_ids = (
         new_edges.select(F.col("id_a").alias("doc_id"))
         .unionByName(new_edges.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
     affected = (
-        prior.join(endpoint_ids, "doc_id", "semi").select("cluster_id").distinct()
+        prior.join(endpoint_ids, "doc_id", "semi")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     affected_members = prior.join(affected, "cluster_id", "semi")
     stars = affected_members.filter(F.col("doc_id") != F.col("cluster_id")).select(
