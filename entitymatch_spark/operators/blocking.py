@@ -264,14 +264,21 @@ def salt_oversized_blocks(
     (probability ~1/s of keeping a given pair of a hot key). For
     near-dup discovery this is the standard recall/cost dial: truly
     similar pairs share several keys, so they get several chances.
+
+    Only the OVERSIZED keys ride the broadcast: at web scale the full
+    key-size table is vocabulary-sized (10^9+, never broadcastable),
+    but keys with > max_block members are few by definition — Zipf's
+    head, not its tail. Normal keys pass through the left join
+    untouched with no per-key state.
     """
     sizes = keys.groupBy("key").agg(F.count("*").alias("__n"))
+    hot = sizes.filter(F.col("__n") > max_block)
     s = F.ceil(F.col("__n") / F.lit(max_block)).cast("long")
     return (
-        keys.join(F.broadcast(sizes), "key")
+        keys.join(F.broadcast(hot), "key", "left")
         .withColumn(
             "key",
-            F.when(F.col("__n") <= max_block, F.col("key")).otherwise(
+            F.when(F.col("__n").isNull(), F.col("key")).otherwise(
                 F.concat(
                     F.col("key"), F.lit("#"),
                     F.pmod(F.xxhash64(F.col(id_col)), s).cast("string"),
