@@ -10,8 +10,9 @@ vocabulary family — they share blocks but not matches, the shape of
 unrelated web content), with state loaded from parquet like a real
 deployment. A full recompute's cost grows ~linearly with the corpus
 (scripts/stress_scale.py measures that leg); the incremental batch
-should stay ~flat apart from the key-table semi-join scan, which
-bucketing removes on a real deployment.
+should stay ~flat apart from one columnar scan of the key table
+(feeding a broadcast LeftSemi — no corpus-side shuffle, plan-asserted
+in tests/test_plan_quality.py).
 
 Usage: python scripts/stress_incremental.py [n_clusters] [cpus]
 """

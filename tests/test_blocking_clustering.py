@@ -290,6 +290,18 @@ def test_salted_oversized_blocks(spark):
     assert max(r["count"] for r in sizes) <= 80
     assert any(r["key"].startswith("hot#") for r in sizes)
     assert any(r["key"].startswith("cold") for r in sizes)  # small keys untouched
+    # salting relabels, never drops
+    assert salted_keys.count() == keys.count()
+    # no small key got a salt suffix
+    assert not any("#" in r["key"] for r in sizes if r["key"].startswith("cold"))
+    # 100 TB: only OVERSIZED keys ride the broadcast (the full key-size
+    # table is vocabulary-sized, never broadcastable) — the broadcast
+    # build side must carry the > max_block filter
+    import re
+
+    plan = salted_keys._jdf.queryExecution().executedPlan().toString()
+    build_side = plan.split("BroadcastExchange", 1)[1]
+    assert re.search(r"__n#\d+L? > 50", build_side), build_side[:800]
 
     salted = candidate_pairs(keys, max_block=50, oversize_policy="salt")
     s_pairs = salted.count()

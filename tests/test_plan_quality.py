@@ -233,3 +233,23 @@ def test_scorer_uses_banded_levenshtein(spark):
     assert "levenshtein" in plan
     # 3-arg form shows the band as the third (optional) argument
     assert "Some(32))" in plan, plan[plan.find("levenshtein"):][:200]
+
+
+def test_incremental_semi_join_broadcasts_batch_side(spark):
+    """Per-batch corpus touch = ONE narrow scan of the key table feeding
+    a broadcast LeftSemi with the (tiny) batch key set as build side.
+    The corpus keys must never shuffle or sort-merge-join before the
+    semi — at 10^12 docs that exchange would be the whole key table."""
+    from entitymatch_spark.plans.incremental import incremental_match, initial_state
+    from entitymatch_spark.plans.pipeline import MatchConfig
+    from entitymatch_spark.sources import corpus_to_spark, generate_corpus
+
+    pages = corpus_to_spark(spark, generate_corpus(n_clusters=40, seed=3))["pages"]
+    is_b = F.pmod(F.xxhash64(F.col("cluster_id").cast("string")), F.lit(5)) == 0
+    st = initial_state(pages.filter(~is_b), MatchConfig())
+    res = incremental_match(st, pages.filter(is_b))
+    plan = _plan(res.pairs)
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi, plan[:2000]
+    assert all("BroadcastHashJoin" in ln and "BuildRight" in ln for ln in semi), semi
+    assert "SortMergeJoin" not in plan
