@@ -69,12 +69,13 @@ SYNONYMS = [
 ]
 
 
-def _match_oracle(keys_sql: str) -> str:
+def _match_oracle(keys_sql: str, threshold: float = 0.60) -> str:
     """Full-pipeline DuckDB oracle, parameterized by the blocking-key
-    CTE (must define ``keys(doc_id, key)``; pos/idf CTEs are in scope).
-    Shared by the token-only and token∪LSH pipeline variants — the
-    purge / pair join / 5-feature scoring / threshold / recursive
-    transitive closure body is identical."""
+    CTE (must define ``keys(doc_id, key)``; pos/idf CTEs are in scope)
+    and the score threshold. Shared by the token-only and token∪LSH
+    pipeline variants and the rethreshold query — the purge / pair
+    join / 5-feature scoring / threshold / recursive transitive
+    closure body is identical."""
     return f"""
         WITH RECURSIVE {POS_CTE.strip().rstrip()}, {IDF_CTE.strip()},
         {keys_sql},
@@ -110,7 +111,7 @@ def _match_oracle(keys_sql: str) -> str:
           JOIN nrm na ON na.doc_id = c.id_a JOIN nrm nb ON nb.doc_id = c.id_b),
         m AS (SELECT id_a, id_b FROM feat
               WHERE 0.35 * cosine + 0.20 * jw + 0.15 * lev_sim
-                    + 0.15 * jaccard + 0.15 * containment >= 0.60),
+                    + 0.15 * jaccard + 0.15 * containment >= {threshold}),
         bidir AS (SELECT id_a AS u, id_b AS v FROM m
                   UNION SELECT id_b, id_a FROM m),
         reach(u, v) AS (SELECT u, v FROM bidir
@@ -1009,6 +1010,29 @@ def q_incremental_match(spark, sf):
     )
 
 
+def q_rethreshold_clusters(spark, sf):
+    """Post-hoc recalibration WITHOUT rescoring: the token-only
+    pipeline runs at its calibrated threshold (0.60), then the stored
+    scored-pair table is re-cut at 0.70 and re-clustered with one
+    connected-components pass (plans/incremental.py rethreshold — no
+    blocking, no Arrow scorer). The oracle is the FULL-RECOMPUTE
+    closure at 0.70, so a green row value-proves that recalibration
+    over the persisted candidate-pair state equals a from-scratch run
+    at the new threshold."""
+    from entitymatch_spark.plans.incremental import initial_state, rethreshold
+    from entitymatch_spark.plans.pipeline import MatchConfig
+
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    cfg = MatchConfig(use_lsh=False, cache=False, id_col="url", text_col="text")
+    st = initial_state(pages, cfg)
+    out = rethreshold(st, threshold=0.70)
+    return out.clusters.select(
+        F.col("doc_id").alias("url_id"), F.col("cluster_id")
+    )
+
+
 def q_blocking_stats(spark, sf):
     """Blocking observability (operators/evaluate.py): per key family
     (token vs LSH band), block counts, purge counts at the max_block
@@ -1075,6 +1099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_clusters": q_match_clusters,
         # NEW round 3: batch-incremental growth, oracle = full recompute
         "incremental_match": q_incremental_match,
+        # NEW round 3: recalibration over persisted candidate-pair state
+        # (no rescoring), oracle = full recompute at the new threshold
+        "rethreshold_clusters": q_rethreshold_clusters,
         # NEW round 3: blocking observability over the portable key table
         "blocking_stats": q_blocking_stats,
         # red in r2 (shape fix this round) — must re-verify:
@@ -1774,6 +1801,14 @@ def oracle_sql() -> dict[str, str]:
         "match_clusters_token": _match_oracle(
             """keys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
                      FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0)"""
+        ),
+        # rethreshold == the SAME closure body at the new cut: candidate
+        # generation is threshold-independent, so re-cutting the stored
+        # scored pairs at 0.70 must reproduce a full 0.70 run
+        "rethreshold_clusters": _match_oracle(
+            """keys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
+                     FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0)""",
+            threshold=0.70,
         ),
         "match_clusters_lsh": _match_oracle(
             f"""tokkeys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key

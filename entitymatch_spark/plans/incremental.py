@@ -90,6 +90,15 @@ class MatchState:
     idf: DataFrame       # (token, df, idf) — frozen external dictionary
     clusters: DataFrame  # (doc_id, cluster_id), cluster_id = min member id
     cfg: MatchConfig
+    # (id_a, id_b, features..., score): every candidate pair ever
+    # scored. Optional — carrying it makes recalibration FREE of the
+    # Arrow scorer: a new threshold or blend re-derives matches with
+    # pure column math over this table (see rethreshold()). Disjoint
+    # across batches by construction: a pair is generated only when a
+    # block gains its first batch member, and both endpoints are
+    # corpus members from the next batch on (old-old pairs are never
+    # re-emitted).
+    scored: DataFrame | None = None
 
 
 @dataclass
@@ -116,7 +125,7 @@ def initial_state(
     res = match_pipeline(pages, cfg, idf=idf)
     return MatchState(
         docs=res.docs, keys=res.keys, idf=res.idf,
-        clusters=res.clusters, cfg=cfg,
+        clusters=res.clusters, cfg=cfg, scored=res.scored,
     )
 
 
@@ -244,6 +253,9 @@ def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalRes
         idf=state.idf,
         clusters=clusters,
         cfg=cfg,
+        scored=(
+            state.scored.unionByName(scored) if state.scored is not None else None
+        ),
     )
     return IncrementalResult(
         state=new_state, new_docs=new_docs, pairs=pairs,
@@ -317,13 +329,93 @@ def save_state(state: MatchState, path: str) -> None:
     boundary a nightly-crawl job commits at. On Iceberg deployments use
     sources.readers.write_table per part instead; parquet keeps the
     local form dependency-free.
+
+    ``scored`` (when the state carries it) persists alongside — it is
+    what makes post-hoc recalibration free of the Arrow scorer (see
+    rethreshold()). States saved before the table existed (or built
+    without it) load with ``scored=None``.
     """
     for part in _PARTS:
         getattr(state, part).write.mode("overwrite").parquet(f"{path}/{part}")
+    if state.scored is not None:
+        state.scored.write.mode("overwrite").parquet(f"{path}/scored")
 
 
 def load_state(
     spark: SparkSession, path: str, cfg: MatchConfig | None = None
 ) -> MatchState:
+    from pathlib import Path as _Path
+
     dfs = {part: spark.read.parquet(f"{path}/{part}") for part in _PARTS}
-    return MatchState(cfg=cfg or MatchConfig(), **dfs)
+    scored = (
+        spark.read.parquet(f"{path}/scored")
+        if (_Path(path) / "scored").exists()
+        else None
+    )
+    return MatchState(cfg=cfg or MatchConfig(), scored=scored, **dfs)
+
+
+def rethreshold(
+    state: MatchState,
+    threshold: float | None = None,
+    weights: dict[str, float] | None = None,
+    model=None,
+) -> MatchState:
+    """Re-derive matches and clusters from the stored scored-pair table
+    WITHOUT re-running blocking or the Arrow scorer.
+
+    Recalibration is the routine operational event this exists for:
+    ``operators.calibrate.calibrate_from_labeled_pairs`` hands back a
+    new threshold (or a whole new blend over the same five features),
+    and applying it is pure column math over ``state.scored`` plus one
+    connected-components pass over the resulting edge set. Candidate
+    generation is threshold-independent, so the result equals a full
+    pipeline re-run at the new setting row for row (value-checked by
+    the ``rethreshold_clusters`` contract query; same purge-cap caveat
+    as the module contract). Cost at 10^12 docs: one scan of the
+    stored scored-pair table + CC over the matches — no doc-table,
+    key-table, or Python touch.
+
+    Exactly one calibration shape:
+      - ``threshold``: new cut on the existing affine ``score``;
+      - ``weights`` (+ optional ``threshold``): re-blend the stored
+        feature columns, cut at the new/current threshold;
+      - ``model``: an ``operators.calibrate.CalibratedModel`` — its
+        logistic blend and probability threshold decide the matches
+        (``state.cfg`` keeps the affine settings; the model is the
+        caller's artifact to version).
+    """
+    if state.scored is None:
+        raise ValueError(
+            "state carries no scored-pair table (loaded from a save made "
+            "before scored persistence existed?); rethreshold needs it"
+        )
+    if model is not None:
+        if threshold is not None or weights is not None:
+            raise ValueError("pass either model= or threshold=/weights=, not both")
+        cfg = state.cfg
+        scored = state.scored
+        matches = model.matches(scored)
+    else:
+        from dataclasses import replace
+
+        cfg = replace(
+            state.cfg,
+            threshold=state.cfg.threshold if threshold is None else threshold,
+            weights=dict(state.cfg.weights if weights is None else weights),
+        )
+        scored = state.scored
+        if weights is not None:
+            blend = sum(
+                (F.col(k) * F.lit(w) for k, w in cfg.weights.items()), F.lit(0.0)
+            )
+            scored = scored.withColumn("score", blend)
+        matches = scored.filter(F.col("score") >= cfg.threshold)
+    components = connected_components(
+        matches.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    clusters = assign_clusters(state.docs.select("doc_id"), components)
+    return MatchState(
+        docs=state.docs, keys=state.keys, idf=state.idf,
+        clusters=clusters, cfg=cfg, scored=scored,
+    )

@@ -112,3 +112,85 @@ def test_state_save_load_roundtrip(spark, tmp_path, setup):
     loaded = load_state(spark, path, setup["cfg"])
     res = incremental_match(loaded, setup["batch"])
     assert _clusters(res.state.clusters) == _clusters(setup["full"].clusters)
+
+
+def test_rethreshold_equals_full_recompute(setup, spark):
+    """A new threshold applied to the STORED scored table + one CC pass
+    must equal a full pipeline re-run at that threshold — in both
+    directions (tighter drops edges, looser adds them), over the grown
+    post-batch state."""
+    from entitymatch_spark.plans.incremental import rethreshold
+
+    for thr in (0.70, 0.50):
+        cheap = rethreshold(setup["inc"].state, threshold=thr)
+        assert cheap.cfg.threshold == thr
+        full = match_pipeline(
+            setup["pages"],
+            MatchConfig(cache=False, threshold=thr),
+            idf=setup["idf"],
+        )
+        assert _clusters(cheap.clusters) == _clusters(full.clusters)
+
+
+def test_rethreshold_reblend_weights(setup):
+    """A new affine blend over the stored FEATURE columns (not just a
+    new cut on the old score) must equal a full re-run with those
+    weights."""
+    from entitymatch_spark.plans.incremental import rethreshold
+
+    w = {"cosine": 0.5, "jw": 0.2, "lev_sim": 0.1, "jaccard": 0.1, "containment": 0.1}
+    cheap = rethreshold(setup["inc"].state, weights=w, threshold=0.65)
+    full = match_pipeline(
+        setup["pages"],
+        MatchConfig(cache=False, weights=w, threshold=0.65),
+        idf=setup["idf"],
+    )
+    assert _clusters(cheap.clusters) == _clusters(full.clusters)
+
+
+def test_rethreshold_model_path(setup):
+    """CalibratedModel route: the model's logistic blend + probability
+    cut decides the edge set; clusters follow from one CC pass."""
+    from entitymatch_spark.operators.calibrate import CalibratedModel
+    from entitymatch_spark.operators.clustering import (
+        assign_clusters,
+        connected_components,
+    )
+    from entitymatch_spark.plans.incremental import rethreshold
+
+    model = CalibratedModel(
+        weights={"cosine": 6.0, "jw": 2.0, "lev_sim": 1.0,
+                 "jaccard": 1.0, "containment": 1.0},
+        bias=-6.0, threshold=0.5,
+    )
+    st = setup["inc"].state
+    out = rethreshold(st, model=model)
+    comp = connected_components(
+        model.matches(st.scored).select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    want = assign_clusters(st.docs.select("doc_id"), comp)
+    assert _clusters(out.clusters) == _clusters(want)
+    with pytest.raises(ValueError):
+        rethreshold(st, threshold=0.7, model=model)
+
+
+def test_rethreshold_state_roundtrip(setup, spark, tmp_path):
+    """scored persists with the state; a pre-scored-era save loads with
+    scored=None and rethreshold refuses it loudly."""
+    from entitymatch_spark.plans.incremental import rethreshold
+
+    p = str(tmp_path / "st")
+    save_state(setup["inc"].state, p)
+    loaded = load_state(spark, p, setup["cfg"])
+    assert loaded.scored is not None
+    thr = rethreshold(loaded, threshold=0.70)
+    direct = rethreshold(setup["inc"].state, threshold=0.70)
+    assert _clusters(thr.clusters) == _clusters(direct.clusters)
+
+    import shutil
+
+    shutil.rmtree(f"{p}/scored")
+    legacy = load_state(spark, p, setup["cfg"])
+    assert legacy.scored is None
+    with pytest.raises(ValueError, match="scored"):
+        rethreshold(legacy, threshold=0.70)
