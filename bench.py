@@ -416,6 +416,20 @@ def _incremental_stage(spark, n_clusters: int) -> dict:
             t_incr = min(t_incr, time.perf_counter() - t0)
             for df in (res.new_docs, res.pairs):
                 df.unpersist()
+        if tag == "":
+            # recalibration cost: a new threshold over the PERSISTED
+            # scored-pair state (no blocking, no Arrow scorer — pure
+            # column math + one CC pass). Compare to e2e: this is what
+            # a calibration change costs instead of a full re-run.
+            from entitymatch_spark.plans.incremental import rethreshold
+
+            t_re = float("inf")
+            for _ in range(max(1, BLOCK_REPEATS)):
+                st = load_state(spark, state_dir, cfg)
+                t0 = time.perf_counter()
+                rethreshold(st, threshold=0.70).clusters.count()
+                t_re = min(t_re, time.perf_counter() - t0)
+            out["rethreshold_sec"] = round(t_re, 3)
         shutil.rmtree(state_dir, ignore_errors=True)
         out[f"incr_total_docs{tag}"] = n_total
         out[f"incr_batch_sec{tag}"] = round(t_incr, 3)
@@ -456,6 +470,7 @@ def child_main(cpus: int, mode: str, out_path: str) -> None:
         incr = _incremental_stage(spark, max(50, int(30000 * sf)))
         result.update(incr)
         timings["incremental_10pct_batch"] = incr["incr_batch_sec"]
+        timings["rethreshold_recalibrate"] = incr["rethreshold_sec"]
         result["queries"] = timings
 
     spark.stop()
@@ -501,6 +516,10 @@ def main() -> None:
             "batch_sec_3x": full["incr_batch_sec_3x"],
             "ratio_3x": full["incr_ratio_3x"],
             "vs_full_e2e": round(full["incr_batch_sec"] / full["e2e_sec"], 3),
+            "rethreshold_sec": full["rethreshold_sec"],
+            "rethreshold_vs_full_e2e": round(
+                full["rethreshold_sec"] / full["e2e_sec"], 3
+            ),
         },
         "scaling": {
             "method": (

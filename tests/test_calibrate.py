@@ -69,3 +69,39 @@ def test_calibrated_f1_on_holdout(spark, corpus_run):
     assert f1 >= 0.99, (tp, fp, fn, precision, recall)
     # sensible direction: every feature should push toward match
     assert all(model.weights[k] > 0 for k in FEATURES), model.weights
+
+def test_calibrated_rethreshold_clusters_f1(spark, corpus_run):
+    """The DEPLOYED calibration loop end-to-end: a state carrying its
+    scored-pair table is recalibrated with the fitted model via
+    rethreshold (NO rescoring — column math + one CC pass) and the
+    resulting CLUSTERS hit F1 >= 0.99 on held-out labeled pairs
+    (cluster-level prediction: same cluster == match, so transitive
+    closure is part of what's being graded)."""
+    from entitymatch_spark.operators.evaluate import pair_metrics
+    from entitymatch_spark.plans.incremental import initial_state, rethreshold
+
+    fx, dfs, _scored = corpus_run
+    lab = fx.labels.copy()
+    site = lab["url_a"].str.extract(r"site(\d+)\.")[0].astype(int)
+    schema = "url_a string, url_b string, is_match boolean, block_key string"
+    train = spark.createDataFrame(lab[site % 2 == 0], schema=schema)
+    test = spark.createDataFrame(lab[site % 2 == 1], schema=schema)
+
+    st = initial_state(dfs["pages"], MatchConfig())
+    model = calibrate_from_labeled_pairs(st.scored, train)
+    out = rethreshold(st, model=model)
+
+    ca = out.clusters.select(
+        F.col("doc_id").alias("url_a"), F.col("cluster_id").alias("ca")
+    )
+    cb = out.clusters.select(
+        F.col("doc_id").alias("url_b"), F.col("cluster_id").alias("cb")
+    )
+    pred = (
+        test.join(ca, "url_a")
+        .join(cb, "url_b")
+        .filter(F.col("ca") == F.col("cb"))
+        .select("url_a", "url_b")
+    )
+    m = pair_metrics(pred, test, id_a="url_a", id_b="url_b").first()
+    assert m["f1"] >= 0.99, dict(m.asDict())
