@@ -384,6 +384,13 @@ def rethreshold(
         logistic blend and probability threshold decide the matches
         (``state.cfg`` keeps the affine settings; the model is the
         caller's artifact to version).
+
+    Retention dial: the scored table is the recalibration asset and
+    grows with every batch. If recalibration below some floor will
+    never happen, persist ``state.scored.filter(score >= floor)``
+    before save_state — every rethreshold at or above the floor stays
+    exact (re-BLENDS need the full table: a new weighting can lift a
+    pair from any score).
     """
     if state.scored is None:
         raise ValueError(
