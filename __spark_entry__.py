@@ -69,18 +69,29 @@ SYNONYMS = [
 ]
 
 
-def _match_oracle(keys_sql: str, threshold: float = 0.60) -> str:
+def _match_oracle(
+    keys_sql: str,
+    threshold: float = 0.60,
+    kept_where: str = "",
+    final_where: str = "",
+) -> str:
     """Full-pipeline DuckDB oracle, parameterized by the blocking-key
     CTE (must define ``keys(doc_id, key)``; pos/idf CTEs are in scope)
     and the score threshold. Shared by the token-only and token∪LSH
     pipeline variants and the rethreshold query — the purge / pair
     join / 5-feature scoring / threshold / recursive transitive
-    closure body is identical."""
+    closure body is identical.
+
+    ``kept_where``/``final_where``: survivor filters for the
+    remove_docs variant — the purge (okk) stays at ORIGINAL corpus
+    block sizes and only block MEMBERSHIP and the final doc set shrink,
+    which is exactly the state-deletion contract (a delete never
+    resurrects a block purged before it)."""
     return f"""
         WITH RECURSIVE {POS_CTE.strip().rstrip()}, {IDF_CTE.strip()},
         {keys_sql},
         okk AS (SELECT key FROM keys GROUP BY key HAVING count(*) <= 64),
-        kept AS (SELECT k.doc_id, k.key FROM keys k JOIN okk USING (key)),
+        kept AS (SELECT k.doc_id, k.key FROM keys k JOIN okk USING (key) {kept_where}),
         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM kept a JOIN kept b USING (key)
                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -121,7 +132,7 @@ def _match_oracle(keys_sql: str, threshold: float = 0.60) -> str:
                  FROM reach GROUP BY u)
         SELECT doc.doc_id AS url_id,
                coalesce(c.cluster_id, doc.doc_id) AS cluster_id
-        FROM documents doc LEFT JOIN comp c USING (doc_id)
+        FROM documents doc LEFT JOIN comp c USING (doc_id) {final_where}
     """
 
 
@@ -1033,6 +1044,29 @@ def q_rethreshold_clusters(spark, sf):
     )
 
 
+def q_remove_docs(spark, sf):
+    """State deletion WITHOUT rescoring, value-checked: build the full
+    token-only state over the corpus, delete every doc_id % 5 == 0
+    (plans/incremental.py remove_docs — pairs touching the deleted
+    docs retire from the stored scored table, only clusters that lost
+    a member re-cluster, cluster ids re-anchor to the new min member).
+    The oracle is the full closure over the SURVIVORS with blocks
+    purged at original corpus size — the state-deletion contract (a
+    delete never resurrects a block purged before it)."""
+    from entitymatch_spark.plans.incremental import initial_state, remove_docs
+    from entitymatch_spark.plans.pipeline import MatchConfig
+
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    cfg = MatchConfig(use_lsh=False, cache=False, id_col="url", text_col="text")
+    st = initial_state(pages, cfg)
+    out = remove_docs(st, pages.filter(F.col("url") % 5 == 0).select("url"))
+    return out.clusters.select(
+        F.col("doc_id").alias("url_id"), F.col("cluster_id")
+    )
+
+
 def q_blocking_stats(spark, sf):
     """Blocking observability (operators/evaluate.py): per key family
     (token vs LSH band), block counts, purge counts at the max_block
@@ -1102,6 +1136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 3: recalibration over persisted candidate-pair state
         # (no rescoring), oracle = full recompute at the new threshold
         "rethreshold_clusters": q_rethreshold_clusters,
+        # NEW round 3: state deletion (take-down / expired-crawl leg),
+        # oracle = survivor closure at original-corpus purge sizes
+        "remove_docs": q_remove_docs,
         # NEW round 3: blocking observability over the portable key table
         "blocking_stats": q_blocking_stats,
         # red in r2 (shape fix this round) — must re-verify:
@@ -1809,6 +1846,17 @@ def oracle_sql() -> dict[str, str]:
             """keys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
                      FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0)""",
             threshold=0.70,
+        ),
+        # state deletion == survivor closure with the purge evaluated at
+        # ORIGINAL corpus block sizes (okk over unfiltered keys; only
+        # membership and the final doc set shrink) — the exact
+        # remove_docs contract; idf stays the full-corpus dictionary
+        # (frozen snapshot), which IDF_CTE already is
+        "remove_docs": _match_oracle(
+            """keys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
+                     FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0)""",
+            kept_where="WHERE k.doc_id % 5 != 0",
+            final_where="WHERE doc.doc_id % 5 != 0",
         ),
         "match_clusters_lsh": _match_oracle(
             f"""tokkeys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key

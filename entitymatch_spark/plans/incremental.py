@@ -426,3 +426,94 @@ def rethreshold(
         docs=state.docs, keys=state.keys, idf=state.idf,
         clusters=clusters, cfg=cfg, scored=scored,
     )
+
+
+def remove_docs(state: MatchState, doc_ids: DataFrame) -> MatchState:
+    """Delete docs from the state without rescoring anything — the
+    take-down / expired-crawl half of the state lifecycle
+    (incremental_match grows it, this shrinks it).
+
+    ``doc_ids``: one-column DataFrame of ids to drop (column name is
+    taken as the id; extra columns rejected to catch mistakes).
+
+    Every table shrinks by anti-join; clusters are re-derived ONLY for
+    clusters that lose a member: surviving match edges inside those
+    clusters (pure column math over the stored scored-pair table — no
+    blocking, no Arrow scorer) go through one connected-components
+    pass, and every untouched cluster's rows pass through an anti-join
+    verbatim. Cost at 10^12 docs: anti-joins against a broadcastable
+    delete set + CC over the affected subgraph only.
+
+    Exactness (mirror of the module's grow-side contract, same frozen
+    IDF requirement): ``remove_docs(state, D).clusters ==
+    match_pipeline(corpus \\ D).clusters`` row for row, PROVIDED no
+    blocking key crosses the ``max_block`` purge cap DOWNWARD — blocks
+    only lose members on delete, and a block purged in the original
+    run that falls back under the cap would contribute pairs the state
+    never scored (the full run would score them). Tested in
+    tests/test_incremental_batch.py including min-member deletion
+    (cluster ids re-anchor to the new min) and whole-cluster deletion.
+    """
+    if state.scored is None:
+        raise ValueError(
+            "state carries no scored-pair table; remove_docs re-derives "
+            "surviving match edges from it (rescoring nothing)"
+        )
+    if len(doc_ids.columns) != 1:
+        raise ValueError(f"doc_ids must be one column, got {doc_ids.columns}")
+    cfg = state.cfg
+    gone = (
+        doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # read by 5 anti/semi branches
+    )
+    gone_a = gone.select(F.col("doc_id").alias("id_a"))
+    gone_b = gone.select(F.col("doc_id").alias("id_b"))
+
+    docs = state.docs.join(gone, "doc_id", "anti")
+    keys = state.keys.join(gone, "doc_id", "anti")
+    scored = (
+        state.scored.join(gone_a, "id_a", "anti").join(gone_b, "id_b", "anti")
+    )
+
+    prior = state.clusters
+    affected = (
+        prior.join(gone, "doc_id", "semi")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # read by 2 branches, sits atop prior
+    )
+    # Remaining members of affected clusters. Surviving match edges are
+    # intra-cluster by construction (matches are transitively connected),
+    # so membership of id_a alone decides whether an edge is affected.
+    remaining = (
+        prior.join(affected, "cluster_id", "semi")
+        .join(gone, "doc_id", "anti")
+        .select("doc_id")
+    )
+    edges = (
+        scored.filter(F.col("score") >= cfg.threshold)
+        .select("id_a", "id_b")
+        .join(remaining.withColumnRenamed("doc_id", "id_a"), "id_a", "semi")
+    )
+    components = connected_components(edges, src="id_a", dst="id_b")
+    changed = assign_clusters(remaining, components)
+    unchanged = prior.join(affected, "cluster_id", "left_anti")
+    return MatchState(
+        docs=docs, keys=keys, idf=state.idf,
+        clusters=unchanged.unionByName(changed), cfg=cfg, scored=scored,
+    )
+
+
+def upsert_pages(state: MatchState, pages: DataFrame) -> IncrementalResult:
+    """Re-crawl upsert: pages whose id already exists in the state are
+    REPLACED (their old text, keys, scored pairs, and cluster edges are
+    retired), then the whole batch is matched in as new — equal to a
+    full recompute over ``(corpus \\ re-crawled ids) ∪ batch`` under
+    the same frozen-IDF + purge-cap contracts as remove_docs and
+    incremental_match. This is the nightly-crawl shape for a corpus
+    keyed by url: the same url at a newer ``warc_ts`` supersedes.
+    """
+    ids = pages.select(F.col(state.cfg.id_col).alias("doc_id"))
+    present = state.docs.join(ids, "doc_id", "semi").select("doc_id")
+    return incremental_match(remove_docs(state, present), pages)

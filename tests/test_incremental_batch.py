@@ -194,3 +194,115 @@ def test_rethreshold_state_roundtrip(setup, spark, tmp_path):
     assert legacy.scored is None
     with pytest.raises(ValueError, match="scored"):
         rethreshold(legacy, threshold=0.70)
+
+
+def test_remove_docs_equals_full_recompute(setup):
+    """Delete a deterministic ~quarter of the grown corpus: clusters must
+    equal a full pipeline run over the survivors (frozen dictionary),
+    and every state table must be clean of the deleted ids."""
+    from entitymatch_spark.plans.incremental import remove_docs
+
+    st = setup["inc"].state
+    is_gone = F.pmod(F.xxhash64("url"), F.lit(4)) == 1
+    gone = setup["pages"].filter(is_gone).select("url")
+    kept = setup["pages"].filter(~is_gone)
+    out = remove_docs(st, gone)
+    full = match_pipeline(kept, setup["cfg"], idf=setup["idf"])
+    assert _clusters(out.clusters) == _clusters(full.clusters)
+
+    gone_ids = {r.url for r in gone.collect()}
+    assert gone_ids  # the split actually deleted something
+    for tbl, cols in (
+        (out.docs, ("doc_id",)),
+        (out.keys, ("doc_id",)),
+        (out.clusters, ("doc_id", "cluster_id")),
+        (out.scored, ("id_a", "id_b")),
+    ):
+        for r in tbl.select(*cols).collect():
+            assert not any(getattr(r, c) in gone_ids for c in cols)
+
+
+def test_remove_min_member_reanchors(setup):
+    """Deleting a cluster's min member (its cluster id) re-anchors the
+    survivors exactly as a full recompute; untouched clusters verbatim."""
+    from collections import Counter
+
+    from entitymatch_spark.plans.incremental import remove_docs
+
+    st = setup["inc"].state
+    rows = _clusters(st.clusters)
+    sizes = Counter(c for _, c in rows)
+    cid = min(c for c, n in sizes.items() if n >= 3)
+    members = sorted(d for d, c in rows if c == cid)
+    assert members[0] == cid  # cluster id IS the min member id
+
+    spark = st.docs.sparkSession
+    out = remove_docs(st, spark.createDataFrame([(cid,)], "doc_id string"))
+    kept = setup["pages"].filter(F.col("url") != cid)
+    full = match_pipeline(kept, setup["cfg"], idf=setup["idf"])
+    after = _clusters(out.clusters)
+    assert after == _clusters(full.clusters)
+    untouched = [r for r in rows if r[1] != cid]
+    assert set(untouched) <= set(after)
+
+
+def test_remove_whole_cluster(setup):
+    """Deleting every member of one cluster removes exactly its rows."""
+    from collections import Counter
+
+    from entitymatch_spark.plans.incremental import remove_docs
+
+    st = setup["inc"].state
+    rows = _clusters(st.clusters)
+    sizes = Counter(c for _, c in rows)
+    cid = min(c for c, n in sizes.items() if n >= 2)
+    members = [(d,) for d, c in rows if c == cid]
+
+    spark = st.docs.sparkSession
+    out = remove_docs(st, spark.createDataFrame(members, "doc_id string"))
+    assert _clusters(out.clusters) == sorted(r for r in rows if r[1] != cid)
+
+
+def test_remove_docs_requires_scored(setup):
+    from dataclasses import replace
+
+    from entitymatch_spark.plans.incremental import remove_docs
+
+    st = replace(setup["inc"].state, scored=None)
+    with pytest.raises(ValueError, match="scored"):
+        remove_docs(st, st.docs.select("doc_id").limit(1))
+
+
+def test_upsert_unchanged_pages_is_cluster_noop(setup):
+    """Re-crawling pages with identical text (same url, fresher crawl)
+    lands back on the full-run cluster map."""
+    from entitymatch_spark.plans.incremental import upsert_pages
+
+    st = setup["inc"].state
+    batch = setup["pages"].filter(F.pmod(F.xxhash64("url"), F.lit(5)) == 2)
+    res = upsert_pages(st, batch)
+    assert _clusters(res.state.clusters) == _clusters(setup["full"].clusters)
+
+
+def test_upsert_moved_pages_equals_full_recompute(setup, spark):
+    """A re-crawl that CHANGES page text (url keeps its identity, the
+    content moves to another entity) re-clusters exactly like a full
+    run over the updated corpus."""
+    from entitymatch_spark.plans.incremental import upsert_pages
+
+    pdf = (
+        setup["pages"].select("url", "text").toPandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    moved = pdf.iloc[:4].copy()
+    moved["text"] = pdf["text"].iloc[-1]
+    batch = spark.createDataFrame(moved, schema="url string, text string")
+
+    res = upsert_pages(setup["inc"].state, batch)
+    updated = (
+        setup["pages"].select("url", "text")
+        .join(batch.select("url"), "url", "anti")
+        .unionByName(batch)
+    )
+    full = match_pipeline(updated, setup["cfg"], idf=setup["idf"])
+    assert _clusters(res.state.clusters) == _clusters(full.clusters)
