@@ -253,3 +253,27 @@ def test_incremental_semi_join_broadcasts_batch_side(spark):
     assert semi, plan[:2000]
     assert all("BroadcastHashJoin" in ln and "BuildRight" in ln for ln in semi), semi
     assert "SortMergeJoin" not in plan
+
+
+def test_remove_docs_broadcasts_delete_set(spark):
+    """Deletion's corpus touches must be broadcast anti/semi joins with
+    the (tiny) delete set as build side — at 10^12 docs a shuffle of
+    docs/keys/scored against the delete set would dwarf the operation.
+    The surviving-table plans must carry no exchange of the corpus side
+    beyond its scan."""
+    from entitymatch_spark.plans.incremental import initial_state, remove_docs
+    from entitymatch_spark.plans.pipeline import MatchConfig
+    from entitymatch_spark.sources import corpus_to_spark, generate_corpus
+
+    pages = corpus_to_spark(spark, generate_corpus(n_clusters=40, seed=3))["pages"]
+    st = initial_state(pages, MatchConfig(cache=False))
+    gone = pages.filter(F.pmod(F.xxhash64("url"), F.lit(7)) == 0).select("url")
+    out = remove_docs(st, gone)
+    for df in (out.docs, out.keys, out.scored):
+        plan = _plan(df)
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti, plan[:2000]
+        assert all(
+            "BroadcastHashJoin" in ln and "BuildRight" in ln for ln in anti
+        ), anti
+        assert "SortMergeJoin" not in plan
