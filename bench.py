@@ -430,6 +430,23 @@ def _incremental_stage(spark, n_clusters: int) -> dict:
                 rethreshold(st, threshold=0.70).clusters.count()
                 t_re = min(t_re, time.perf_counter() - t0)
             out["rethreshold_sec"] = round(t_re, 3)
+            # deletion cost: retire a ~5% doc sample from the loaded
+            # state (plans/incremental.py remove_docs — broadcast
+            # anti-joins + CC over affected clusters only). Like the
+            # batch leg, this should track the delete set / its
+            # clusters, not the corpus.
+            from entitymatch_spark.plans.incremental import remove_docs
+
+            t_rm = float("inf")
+            gone = corpus.filter(
+                F.pmod(F.xxhash64("url"), F.lit(20)) == 0
+            ).select("url")
+            for _ in range(max(1, BLOCK_REPEATS)):
+                st = load_state(spark, state_dir, cfg)
+                t0 = time.perf_counter()
+                remove_docs(st, gone).clusters.count()
+                t_rm = min(t_rm, time.perf_counter() - t0)
+            out["remove_docs_sec"] = round(t_rm, 3)
         shutil.rmtree(state_dir, ignore_errors=True)
         out[f"incr_total_docs{tag}"] = n_total
         out[f"incr_batch_sec{tag}"] = round(t_incr, 3)
