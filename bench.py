@@ -488,6 +488,7 @@ def child_main(cpus: int, mode: str, out_path: str) -> None:
         result.update(incr)
         timings["incremental_10pct_batch"] = incr["incr_batch_sec"]
         timings["rethreshold_recalibrate"] = incr["rethreshold_sec"]
+        timings["remove_docs_retire"] = incr["remove_docs_sec"]
         result["queries"] = timings
 
     spark.stop()
@@ -536,6 +537,10 @@ def main() -> None:
             "rethreshold_sec": full["rethreshold_sec"],
             "rethreshold_vs_full_e2e": round(
                 full["rethreshold_sec"] / full["e2e_sec"], 3
+            ),
+            "remove_docs_sec": full["remove_docs_sec"],
+            "remove_vs_full_e2e": round(
+                full["remove_docs_sec"] / full["e2e_sec"], 3
             ),
         },
         "scaling": {
