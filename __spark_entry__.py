@@ -74,6 +74,7 @@ def _match_oracle(
     threshold: float = 0.60,
     kept_where: str = "",
     final_where: str = "",
+    final_select: str | None = None,
 ) -> str:
     """Full-pipeline DuckDB oracle, parameterized by the blocking-key
     CTE (must define ``keys(doc_id, key)``; pos/idf CTEs are in scope)
@@ -86,7 +87,17 @@ def _match_oracle(
     remove_docs variant — the purge (okk) stays at ORIGINAL corpus
     block sizes and only block MEMBERSHIP and the final doc set shrink,
     which is exactly the state-deletion contract (a delete never
-    resurrects a block purged before it)."""
+    resurrects a block purged before it).
+
+    ``final_select``: replaces the default (url_id, cluster_id) tail —
+    the ``assigned`` CTE (doc_id, cluster_id incl. singletons) is in
+    scope for it (used by the cluster_stats histogram oracle)."""
+    tail = (
+        final_select
+        if final_select is not None
+        else f"""SELECT doc_id AS url_id, cluster_id
+        FROM assigned {final_where}"""
+    )
     return f"""
         WITH RECURSIVE {POS_CTE.strip().rstrip()}, {IDF_CTE.strip()},
         {keys_sql},
@@ -129,10 +140,11 @@ def _match_oracle(
                         UNION
                         SELECT r.u, e.v FROM reach r JOIN bidir e ON r.v = e.u),
         comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-                 FROM reach GROUP BY u)
-        SELECT doc.doc_id AS url_id,
-               coalesce(c.cluster_id, doc.doc_id) AS cluster_id
-        FROM documents doc LEFT JOIN comp c USING (doc_id) {final_where}
+                 FROM reach GROUP BY u),
+        assigned AS (SELECT doc.doc_id,
+                            coalesce(c.cluster_id, doc.doc_id) AS cluster_id
+                     FROM documents doc LEFT JOIN comp c USING (doc_id))
+        {tail}
     """
 
 
@@ -1067,6 +1079,24 @@ def q_remove_docs(spark, sf):
     )
 
 
+def q_cluster_stats(spark, sf):
+    """Post-run observability (operators/evaluate.py cluster_stats):
+    cluster-size histogram over the token-only pipeline's clusters —
+    how many entities the corpus collapsed into, the singleton share,
+    and whether a giant component formed (the web-scale symptom of an
+    over-permissive threshold or a boilerplate key). The oracle runs
+    the full closure and aggregates the same histogram."""
+    from entitymatch_spark.operators.evaluate import cluster_stats
+    from entitymatch_spark.plans.pipeline import MatchConfig, match_pipeline
+
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    cfg = MatchConfig(use_lsh=False, cache=False, id_col="url", text_col="text")
+    res = match_pipeline(pages, cfg)
+    return cluster_stats(res.clusters)
+
+
 def q_blocking_stats(spark, sf):
     """Blocking observability (operators/evaluate.py): per key family
     (token vs LSH band), block counts, purge counts at the max_block
@@ -1141,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_docs": q_remove_docs,
         # NEW round 3: blocking observability over the portable key table
         "blocking_stats": q_blocking_stats,
+        # NEW round 3: post-run cluster-size histogram observability
+        "cluster_stats": q_cluster_stats,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -1856,7 +1888,23 @@ def oracle_sql() -> dict[str, str]:
             """keys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
                      FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0)""",
             kept_where="WHERE k.doc_id % 5 != 0",
-            final_where="WHERE doc.doc_id % 5 != 0",
+            final_where="WHERE doc_id % 5 != 0",
+        ),
+        # cluster-size histogram over the same token-only closure; the
+        # assigned CTE (docs + singleton fallback) feeds the aggregate
+        "cluster_stats": _match_oracle(
+            """keys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
+                     FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0)""",
+            final_select="""
+            , sz AS (SELECT cluster_id, count(*) AS cluster_size
+                     FROM assigned GROUP BY cluster_id),
+            tot AS (SELECT count(*) AS t FROM assigned)
+            SELECT cluster_size,
+                   count(*) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+                   round(cluster_size * count(*) * 100.0
+                         / (SELECT t FROM tot), 4) AS pct_docs
+            FROM sz GROUP BY cluster_size""",
         ),
         "match_clusters_lsh": _match_oracle(
             f"""tokkeys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key

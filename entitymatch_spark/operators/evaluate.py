@@ -105,3 +105,30 @@ def blocking_stats(
             F.round(F.avg("n"), 4).alias("avg_block"),
         )
     )
+
+
+def cluster_stats(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cluster-size distribution from a (doc_id, cluster_id) table —
+    the post-run ops dial (blocking_stats is the pre-run one): how many
+    entities the corpus collapsed into, how much of it is singletons,
+    and whether some cluster exploded (a giant component is the classic
+    symptom of an over-permissive threshold or a boilerplate blocking
+    key at web scale).
+
+    One row per cluster size: (cluster_size, n_clusters, n_docs,
+    pct_docs). Cost: two narrow aggregations (doc→cluster counts,
+    counts→histogram); never materializes pairs.
+    """
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(id_col).alias("cluster_size")
+    )
+    total = clusters.count()
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+        .withColumn(
+            "pct_docs", F.round(F.col("n_docs") / F.lit(float(total)) * 100, 4)
+        )
+        .select("cluster_size", "n_clusters", "n_docs", "pct_docs")
+    )

@@ -82,3 +82,23 @@ def test_blocking_stats_counts(spark, fixture):
         assert s.cand_pairs == sum(n * (n - 1) // 2 for n in ns if 2 <= n <= cap)
         assert s.max_block == max(ns)
     assert set(stats) == {"tok", "lsh"}
+
+
+def test_cluster_stats_reconciles(spark, fixture):
+    """Histogram must reconcile with directly computed cluster sizes,
+    and its totals with the doc count."""
+    from collections import Counter
+
+    from entitymatch_spark.operators.evaluate import cluster_stats
+
+    _, res = fixture
+    rows = {r.cluster_size: r for r in cluster_stats(res.clusters).collect()}
+    want = Counter(
+        Counter(r.cluster_id for r in res.clusters.collect()).values()
+    )
+    assert {k: v.n_clusters for k, v in rows.items()} == dict(want)
+    n_docs = res.clusters.count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert abs(sum(r.pct_docs for r in rows.values()) - 100.0) < 0.01
+    for r in rows.values():
+        assert r.n_docs == r.cluster_size * r.n_clusters
