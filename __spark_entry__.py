@@ -1079,6 +1079,29 @@ def q_remove_docs(spark, sf):
     )
 
 
+def q_upsert_pages(spark, sf):
+    """Re-crawl upsert, value-checked: build the token-only state over
+    the corpus, then upsert every doc_id % 7 == 0 with IDENTICAL text
+    (the nightly same-url-fresher-crawl no-op). The old rows retire
+    (docs/keys/scored pairs), the batch matches back in, and the final
+    clusters must land bit-for-bit on the plain full-recompute closure
+    — proving retire + re-match composes to identity when content is
+    unchanged (content-moved upserts are pytest-checked against a full
+    recompute in tests/test_incremental_batch.py)."""
+    from entitymatch_spark.plans.incremental import initial_state, upsert_pages
+    from entitymatch_spark.plans.pipeline import MatchConfig
+
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    cfg = MatchConfig(use_lsh=False, cache=False, id_col="url", text_col="text")
+    st = initial_state(pages, cfg)
+    res = upsert_pages(st, pages.filter(F.col("url") % 7 == 0))
+    return res.state.clusters.select(
+        F.col("doc_id").alias("url_id"), F.col("cluster_id")
+    )
+
+
 def q_cluster_stats(spark, sf):
     """Post-run observability (operators/evaluate.py cluster_stats):
     cluster-size histogram over the token-only pipeline's clusters —
@@ -1169,6 +1192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 3: state deletion (take-down / expired-crawl leg),
         # oracle = survivor closure at original-corpus purge sizes
         "remove_docs": q_remove_docs,
+        # NEW round 3: identity re-crawl upsert == full closure
+        "upsert_pages": q_upsert_pages,
         # NEW round 3: blocking observability over the portable key table
         "blocking_stats": q_blocking_stats,
         # NEW round 3: post-run cluster-size histogram observability
@@ -1889,6 +1914,13 @@ def oracle_sql() -> dict[str, str]:
                      FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0)""",
             kept_where="WHERE k.doc_id % 5 != 0",
             final_where="WHERE doc_id % 5 != 0",
+        ),
+        # identity re-crawl upsert (retire + re-match with unchanged
+        # text) must land back on the PLAIN full closure — same oracle
+        # as match_clusters_token
+        "upsert_pages": _match_oracle(
+            """keys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
+                     FROM pos p JOIN idf i USING (token) WHERE i.idf >= 1.0)"""
         ),
         # cluster-size histogram over the same token-only closure; the
         # assigned CTE (docs + singleton fallback) feeds the aggregate
