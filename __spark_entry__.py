@@ -1174,13 +1174,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # ORDERING CONTRACT: the driver verifies the FIRST ~50 entries
         # per round. Round-3 rotation policy (VERDICT r2 ask): flagship
-        # pipeline first (always verified), then the two NEW round-3
-        # queries (incremental_match, blocking_stats), then every query
-        # that got NO CORRECTNESS row in round 2 (past the r2 cap) or
-        # changed this round, then r2-green rows; the 13 tail entries
-        # are simple relational queries green in BOTH r1 and r2 —
-        # safest to go one round without re-verification (rotate them
-        # back into the top 50 in round 4).
+        # pipeline first (always verified), then the NEW round-3
+        # queries (incremental_match, rethreshold_clusters,
+        # remove_docs, upsert_pages, blocking_stats, cluster_stats),
+        # then every query that got NO CORRECTNESS row in round 2
+        # (past the r2 cap) or changed this round, then r2-green rows.
+        # The ~17 entries past the cap (from quality_score down) are
+        # simple relational queries green in BOTH r1 and r2 — safest
+        # to go one round without re-verification (rotate them back
+        # into the top 50 in round 4).
         "match_clusters_token": q_match_clusters_token,
         "match_clusters_lsh": q_match_clusters_lsh,
         "match_clusters": q_match_clusters,

@@ -321,24 +321,38 @@ def _merge_clusters(
 _PARTS = ("docs", "keys", "idf", "clusters")
 
 
+def _state_target(path: str, part: str) -> str:
+    from entitymatch_spark.sources.readers import is_table_name
+
+    return f"{path}_{part}" if is_table_name(path) else f"{path}/{part}"
+
+
 def save_state(state: MatchState, path: str) -> None:
-    """Write the state's four tables as parquet under ``path``.
+    """Persist the state's tables under ``path``.
+
+    ``path`` follows the sources.readers convention: a filesystem path
+    writes one parquet dir per part; a catalog name prefix (e.g.
+    ``db.match_state``) writes Iceberg/catalog tables
+    ``db.match_state_docs`` etc. through write_table — on Iceberg each
+    save is an atomic snapshot commit, which is also what lets a real
+    deployment save in place (the parquet form needs a fresh dir; see
+    the CLI's --state-out note).
 
     ``clusters`` is an iterative result (connected components), so the
     write doubles as its durable materialization — the natural batch
-    boundary a nightly-crawl job commits at. On Iceberg deployments use
-    sources.readers.write_table per part instead; parquet keeps the
-    local form dependency-free.
+    boundary a nightly-crawl job commits at.
 
     ``scored`` (when the state carries it) persists alongside — it is
     what makes post-hoc recalibration free of the Arrow scorer (see
     rethreshold()). States saved before the table existed (or built
     without it) load with ``scored=None``.
     """
+    from entitymatch_spark.sources.readers import write_table
+
     for part in _PARTS:
-        getattr(state, part).write.mode("overwrite").parquet(f"{path}/{part}")
+        write_table(getattr(state, part), _state_target(path, part))
     if state.scored is not None:
-        state.scored.write.mode("overwrite").parquet(f"{path}/scored")
+        write_table(state.scored, _state_target(path, "scored"))
 
 
 def load_state(
@@ -346,12 +360,16 @@ def load_state(
 ) -> MatchState:
     from pathlib import Path as _Path
 
-    dfs = {part: spark.read.parquet(f"{path}/{part}") for part in _PARTS}
-    scored = (
-        spark.read.parquet(f"{path}/scored")
-        if (_Path(path) / "scored").exists()
-        else None
+    from entitymatch_spark.sources.readers import is_table_name, read_pages
+
+    dfs = {part: read_pages(spark, _state_target(path, part)) for part in _PARTS}
+    scored_t = _state_target(path, "scored")
+    has_scored = (
+        spark.catalog.tableExists(scored_t)
+        if is_table_name(path)
+        else (_Path(path) / "scored").exists()
     )
+    scored = read_pages(spark, scored_t) if has_scored else None
     return MatchState(cfg=cfg or MatchConfig(), scored=scored, **dfs)
 
 

@@ -306,3 +306,21 @@ def test_upsert_moved_pages_equals_full_recompute(setup, spark):
     )
     full = match_pipeline(updated, setup["cfg"], idf=setup["idf"])
     assert _clusters(res.state.clusters) == _clusters(full.clusters)
+
+
+def test_state_catalog_roundtrip(spark, setup):
+    """A catalog-name prefix persists the state as session-catalog
+    tables (Iceberg on a real deployment) and a batch matched into the
+    loaded state reproduces the full-recompute clusters."""
+    prefix = "default.em_state_rt"
+    save_state(setup["st0"], prefix)
+    try:
+        assert spark.catalog.tableExists(f"{prefix}_docs")
+        assert spark.catalog.tableExists(f"{prefix}_scored")
+        loaded = load_state(spark, prefix, setup["cfg"])
+        assert loaded.scored is not None
+        res = incremental_match(loaded, setup["batch"])
+        assert _clusters(res.state.clusters) == _clusters(setup["full"].clusters)
+    finally:
+        for part in ("docs", "keys", "idf", "clusters", "scored"):
+            spark.sql(f"drop table if exists {prefix}_{part}")
