@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Corpus-growth stress for the batch-incremental path.
+"""Corpus-size stress for the batch-incremental path, both directions.
 
 The 100 TB claim for plans/incremental.py is corpus-size INDEPENDENCE:
 matching a fixed daily batch into a standing corpus costs ~the batch's
@@ -13,6 +13,12 @@ deployment. A full recompute's cost grows ~linearly with the corpus
 should stay ~flat apart from one columnar scan of the key table
 (feeding a broadcast LeftSemi — no corpus-side shuffle, plan-asserted
 in tests/test_plan_quality.py).
+
+The DELETE leg mirrors it: retiring the SAME fixed ~5% doc set from
+each standing corpus (remove_docs — broadcast anti-joins + one CC pass
+over only the clusters that lost a member) should track the delete
+set's cluster degree plus narrow scans of the state tables, never the
+full-rebuild cost the corpus size implies.
 
 Usage: python scripts/stress_incremental.py [n_clusters] [cpus]
 """
@@ -33,6 +39,7 @@ from entitymatch_spark.plans.incremental import (
     incremental_match,
     initial_state,
     load_state,
+    remove_docs,
     save_state,
 )
 from entitymatch_spark.plans.pipeline import MatchConfig
@@ -66,6 +73,16 @@ def main() -> None:
         legs.append((mult, legs[-1][1].unionByName(filler)))
         offset += extra
 
+    # Fixed delete set: ~5% of BASE docs, identical across corpus legs
+    # (the fillers never contain these ids), so the delete leg varies
+    # only the standing-corpus size around the same work.
+    gone = (
+        base.select("url")
+        .filter(F.pmod(F.xxhash64("url"), F.lit(20)) == 0)
+        .persist()
+    )
+    print(f"delete_set={gone.count()}")
+
     for tag, corpus in legs:
         state_dir = tempfile.mkdtemp(prefix=f"stress_incr_{tag}_")
         t0 = time.perf_counter()
@@ -84,9 +101,16 @@ def main() -> None:
             n_pairs = res.pairs.count()
             for df in (res.new_docs, res.pairs):
                 df.unpersist()
+        best_rm, n_after = float("inf"), 0
+        for _ in range(REPEATS):
+            st = load_state(spark, state_dir, cfg)
+            t0 = time.perf_counter()
+            n_after = remove_docs(st, gone).clusters.count()
+            best_rm = min(best_rm, time.perf_counter() - t0)
         print(
             f"{tag}: corpus_docs={n_total} batch_pairs={n_pairs} "
-            f"full_build+save={t_build:.1f}s incr_batch={best:.2f}s"
+            f"full_build+save={t_build:.1f}s incr_batch={best:.2f}s "
+            f"remove_5pct={best_rm:.2f}s survivors={n_after}"
         )
         shutil.rmtree(state_dir, ignore_errors=True)
 
