@@ -442,6 +442,41 @@ def q_topk_spans(spark, sf):  # W1 (Recognizer.cs:24-46): top-k spans per start
     )
 
 
+def q_interpret_matches(spark, sf):  # flagship: Matcher.Interpretations
+    """The reference's flagship entry point end to end (ref:
+    Matcher.cs:43-51, REPL defaults TestMatcher/Program.cs:39-40):
+    tokenize -> spelling alternatives (edit<=1, exact short-circuit,
+    weight 1/(1+d)) -> synonym replacement (multiplicative weights) ->
+    posting probe with weight = altWeight x IDF -> maximal adjacent-run
+    spans -> score = weight/entity_total, threshold 0.25 -> top-1 per
+    (query, type, start). Entities = even en docs, queries = odd en
+    docs, so near-dup corpus clusters yield real matched spans."""
+    from entitymatch_spark.plans.matcher import build_matcher_index, interpret
+
+    d = _fan(spark, _t(spark, sf, "documents")).filter(F.col("lang") == "en")
+    ents = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("entity_id"),
+        F.col("source").alias("type"),
+        F.col("text").alias("phrase"),
+    )
+    qs = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    idx = build_matcher_index(ents)
+    syn = spark.createDataFrame(
+        SYNONYMS, "token string, alt_token string, weight double"
+    )
+    out = interpret(qs, idx, synonyms=syn)  # k=1, threshold=0.25 (REPL defaults)
+    return out.select(
+        "query_id",
+        "entity_id",
+        "type",
+        F.col("start").cast("long").alias("span_start"),
+        F.col("length").cast("long").alias("span_len"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_candidate_pairs_alt(spark, sf):  # J3 UnionSorted (Recognizer.cs:135-194)
     """Alternative-expanded posting probe: query doc 0's tokens plus
     their spelling alternatives probe the fr-docs posting; duplicate
@@ -1215,6 +1250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "agg_lineitem": q_agg_lineitem,
         # new or changed this round:
+        # NEW round 3: the reference's flagship Interpretations entry
+        # point end-to-end (tokenize -> alternatives chain -> spans ->
+        # top-k), previously covered by matcher units only
+        "interpret_matches": q_interpret_matches,
         "tokenize_offsets": q_tokenize_offsets,
         "parse_numeric_unit": q_parse_numeric_unit,
         # r2-green, kept in the verified set:
@@ -1401,6 +1440,70 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY score DESC, entity_id ASC) AS rnk
               FROM ({extend_spans_sql})
             ) WHERE rnk <= 2
+        """,
+        "interpret_matches": f"""
+            WITH etoks AS (SELECT doc_id AS entity_id, source AS type, {TOKS} AS tk
+                           FROM documents WHERE lang = 'en' AND doc_id % 2 = 0),
+            epos AS (SELECT entity_id, unnest(tk) AS token,
+                            generate_subscripts(tk, 1) - 1 AS epos FROM etoks),
+            eidf AS (SELECT token,
+                            greatest(ln(greatest(
+                              ((SELECT count(*) FROM etoks) + 0.5 - count(*))
+                              / (count(*) + 0.5), 1e-12)), 0.00001) AS idf
+                     FROM epos GROUP BY token),
+            tot AS (SELECT entity_id, sum(i.idf) AS total
+                    FROM epos e JOIN eidf i USING (token) GROUP BY 1),
+            voc AS (SELECT DISTINCT token FROM epos),
+            qtoks AS (SELECT doc_id AS query_id, {TOKS} AS tk
+                      FROM documents WHERE lang = 'en' AND doc_id % 2 = 1),
+            qpos AS (SELECT query_id, unnest(tk) AS token,
+                            generate_subscripts(tk, 1) - 1 AS qpos FROM qtoks),
+            probe AS (SELECT DISTINCT token FROM qpos),
+            spelled AS (
+              SELECT p.token, p.token AS alt_token, 1.0 AS weight
+              FROM probe p WHERE p.token IN (SELECT token FROM voc)
+              UNION ALL
+              SELECT p.token, v.token AS alt_token,
+                     1.0 / (1.0 + levenshtein(p.token, v.token)) AS weight
+              FROM probe p JOIN voc v
+                ON abs(length(p.token) - length(v.token)) <= 1
+               AND levenshtein(p.token, v.token) <= 1
+              WHERE p.token NOT IN (SELECT token FROM voc)),
+            syn(token, alt_token, weight) AS (VALUES {syn_values}),
+            alts AS (
+              SELECT token, alt_token, max(weight) AS weight FROM (
+                SELECT s.token, s.alt_token, s.weight FROM spelled s
+                WHERE s.alt_token NOT IN (SELECT token FROM syn)
+                UNION ALL
+                SELECT s.token, y.alt_token, s.weight * y.weight AS weight
+                FROM spelled s JOIN syn y ON s.alt_token = y.token
+              ) GROUP BY 1, 2),
+            eq AS (SELECT q.query_id, q.qpos, a.alt_token AS token, a.weight
+                   FROM qpos q JOIN alts a USING (token)),
+            cand AS (SELECT q.query_id, e.entity_id, q.qpos, e.epos,
+                            q.weight * i.idf AS wtok
+                     FROM eq q JOIN epos e USING (token) JOIN eidf i USING (token)),
+            dd AS (SELECT query_id, entity_id, qpos - epos AS diag, qpos,
+                          max(wtok) AS wtok
+                   FROM cand GROUP BY 1, 2, 3, 4),
+            isl AS (SELECT *, qpos - row_number() OVER (
+                      PARTITION BY query_id, entity_id, diag ORDER BY qpos
+                    ) AS island FROM dd),
+            sp AS (SELECT query_id, entity_id, min(qpos) AS span_start,
+                          count(*) AS span_len, sum(wtok) AS sw
+                   FROM isl GROUP BY query_id, entity_id, diag, island),
+            scored AS (SELECT s.query_id, s.entity_id, s.span_start, s.span_len,
+                              s.sw / t.total AS score
+                       FROM sp s JOIN tot t USING (entity_id)
+                       WHERE s.sw / t.total >= 0.25),
+            typed AS (SELECT sc.*, e.type FROM scored sc
+                      JOIN (SELECT entity_id, type FROM etoks) e USING (entity_id)),
+            rk AS (SELECT *, row_number() OVER (
+                     PARTITION BY query_id, type, span_start
+                     ORDER BY score DESC, entity_id ASC) AS rn FROM typed)
+            SELECT query_id, entity_id, type, span_start, span_len,
+                   round(score, 6) AS score
+            FROM rk WHERE rn = 1
         """,
         "candidate_pairs_alt": f"""
             WITH {POS_CTE},
