@@ -13,8 +13,9 @@ Per-batch cost (B = batch docs, C = corpus docs):
 - blocking keys: O(B) narrow column work (token keys + the MinHash
   fold are per-row expressions, zero shuffle);
 - old-side lookups: ONE semi-join of the corpus key table against the
-  batch's distinct keys (bucketable by ``key`` on a real deployment,
-  so the corpus side needs no shuffle) — never a scan of old pairs;
+  batch's distinct keys (``save_state(key_buckets=)`` persists that
+  table hash-bucketed by ``key``, so the corpus side needs no shuffle
+  — plan-asserted) — never a scan of old pairs;
 - scoring: only new-new and new-old candidate pairs, through the same
   Arrow scorer as the full pipeline;
 - clustering: connected components over (new match edges ∪ the star
@@ -327,7 +328,7 @@ def _state_target(path: str, part: str) -> str:
     return f"{path}_{part}" if is_table_name(path) else f"{path}/{part}"
 
 
-def save_state(state: MatchState, path: str) -> None:
+def save_state(state: MatchState, path: str, *, key_buckets: int | None = None) -> None:
     """Persist the state's tables under ``path``.
 
     ``path`` follows the sources.readers convention: a filesystem path
@@ -338,6 +339,23 @@ def save_state(state: MatchState, path: str) -> None:
     deployment save in place (the parquet form needs a fresh dir; see
     the CLI's --state-out note).
 
+    ``key_buckets`` (catalog targets only) hash-buckets the ``keys``
+    table by ``key``. This is THE standing-state layout decision at
+    10^12 docs: every batch's old-side lookup is one semi-join of the
+    standing key table (O(corpus) rows, ~10^13 keys) against the
+    batch's distinct keys — bucketed, the standing side's scan already
+    satisfies the join's required distribution, so Spark Exchanges
+    only the batch side and the standing table NEVER moves across the
+    network (plan-asserted in tests/test_incremental_batch.py). Pick
+    the bucket count once, for the standing table's target partition
+    size (e.g. 10^13 keys / 2^14 buckets ≈ 600M keys ≈ a few GB per
+    bucket); every later batch reuses it. Keep it >= the session's
+    ``spark.sql.shuffle.partitions``: below that, Spark's
+    DisableUnnecessaryBucketedScan judges the bucketed read an
+    under-parallelized loss and re-shuffles BOTH sides (observed at
+    4 buckets vs 8 shuffle partitions) — never a constraint at scale,
+    where the bucket count is in the thousands.
+
     ``clusters`` is an iterative result (connected components), so the
     write doubles as its durable materialization — the natural batch
     boundary a nightly-crawl job commits at.
@@ -347,10 +365,20 @@ def save_state(state: MatchState, path: str) -> None:
     rethreshold()). States saved before the table existed (or built
     without it) load with ``scored=None``.
     """
-    from entitymatch_spark.sources.readers import write_table
+    from entitymatch_spark.sources.readers import is_table_name, write_table
 
+    if key_buckets is not None and not is_table_name(path):
+        raise ValueError(
+            "key_buckets= needs a catalog-name path (bucket metadata "
+            f"lives in the metastore); got {path!r}"
+        )
     for part in _PARTS:
-        write_table(getattr(state, part), _state_target(path, part))
+        kw = (
+            {"buckets": key_buckets, "bucket_by": "key"}
+            if part == "keys" and key_buckets is not None
+            else {}
+        )
+        write_table(getattr(state, part), _state_target(path, part), **kw)
     if state.scored is not None:
         write_table(state.scored, _state_target(path, "scored"))
 

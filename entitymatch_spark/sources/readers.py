@@ -45,7 +45,15 @@ _V1_FALLBACK_CONDITIONS = {
 }
 
 
-def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
+def write_table(
+    df: DataFrame,
+    target: str,
+    mode: str = "overwrite",
+    *,
+    buckets: int | None = None,
+    bucket_by: str | None = None,
+    sort_by: str | None = None,
+) -> None:
     """Write to an Iceberg/catalog table when named, else parquet.
 
     Table targets prefer the V2 ``writeTo`` path (atomic replace on
@@ -53,9 +61,35 @@ def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
     ``_V1_FALLBACK_CONDITIONS`` fall back to the V1 ``saveAsTable``
     path (same overwrite/append semantics minus atomicity) — any other
     AnalysisException re-raises.
+
+    ``buckets``/``bucket_by`` hash-bucket the table on a key so later
+    equi-joins on that key read the table shuffle-free (Spark plans
+    the scan's output partitioning as ``HashPartitioning(bucket_by,
+    buckets)`` and Exchanges only the other side). Bucket metadata
+    lives in a catalog, so a path target raises. The write goes
+    straight to the V1 ``bucketBy/sortBy/saveAsTable`` writer — the V2
+    ``writeTo`` API has no bucket clause for session/Hive catalogs; on
+    Iceberg the equivalent layout is ``partitionedBy(bucket(N, col))``
+    plus storage-partitioned joins, which a deployment with the
+    Iceberg runtime should prefer for its snapshot atomicity.
     """
     from pyspark.errors import AnalysisException
 
+    if buckets is not None:
+        if not is_table_name(target):
+            raise ValueError(
+                "bucketed writes need a catalog table target (bucket "
+                f"metadata lives in the metastore); got path {target!r}"
+            )
+        if not bucket_by:
+            raise ValueError("buckets= requires bucket_by=")
+        (
+            df.write.mode("overwrite" if mode == "overwrite" else "append")
+            .bucketBy(buckets, bucket_by)
+            .sortBy(sort_by or bucket_by)
+            .saveAsTable(target)
+        )
+        return
     if is_table_name(target):
         try:
             if mode == "overwrite":

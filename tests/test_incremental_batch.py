@@ -324,3 +324,56 @@ def test_state_catalog_roundtrip(spark, setup):
     finally:
         for part in ("docs", "keys", "idf", "clusters", "scored"):
             spark.sql(f"drop table if exists {prefix}_{part}")
+
+
+def test_state_bucketed_keys_standing_side_never_shuffles(spark, setup):
+    """save_state(key_buckets=) persists the standing key table
+    hash-bucketed by ``key``: the per-batch old-side semi-join then
+    Exchanges ONLY the batch side. At 10^12 docs the standing key
+    table is the O(corpus) artifact — this layout is what keeps a
+    daily batch from shuffling ~10^13 rows. Asserted on the physical
+    plan with broadcast disabled (so the shuffle question is actually
+    posed), then the incremental result over the bucketed state is
+    value-checked against the full recompute."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from entitymatch_spark.plans.incremental import _batch_keys
+
+    prefix = "default.em_state_bk"
+    parts = ("docs", "keys", "idf", "clusters", "scored")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for part in parts:  # a dir left by a dead session blocks saveAsTable
+        spark.sql(f"drop table if exists {prefix}_{part}")
+        shutil.rmtree(f"{wh}/em_state_bk_{part}", ignore_errors=True)
+    # bucket count == the session's shuffle partitions: below that,
+    # DisableUnnecessaryBucketedScan re-shuffles both sides (docstring)
+    save_state(setup["st0"], prefix, key_buckets=8)
+    try:
+        loaded = load_state(spark, prefix, setup["cfg"])
+        batch_keys = (
+            _batch_keys(prepare_docs(setup["batch"], setup["cfg"]), loaded)
+            .select("key")
+            .distinct()
+        )
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = loaded.keys.join(batch_keys, "key", "semi")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        assert "Bucketed: true" in plan, plan[:3000]
+        standing_branch = plan[plan.find("Join") : plan.find("FileScan")]
+        assert "Exchange" not in standing_branch, plan[:3000]
+        assert plan.count("Exchange") >= 1  # the batch side still moves
+        res = incremental_match(loaded, setup["batch"])
+        assert _clusters(res.state.clusters) == _clusters(setup["full"].clusters)
+    finally:
+        for part in parts:
+            spark.sql(f"drop table if exists {prefix}_{part}")
+
+
+def test_bucketed_write_needs_catalog(tmp_path, setup):
+    with pytest.raises(ValueError, match="catalog"):
+        save_state(setup["st0"], str(tmp_path / "st"), key_buckets=8)
