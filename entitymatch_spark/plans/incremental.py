@@ -230,8 +230,13 @@ def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalRes
     # on id_a/id_b already touch only docs that appear in a pair, so a
     # prune-first semi-join would just add a pass (measured: a semi-join
     # "optimization" here cost 9.8s vs 3.7s without, re-evaluated once
-    # per hydration side). On a real deployment docs are bucketed by
-    # doc_id, making the joins shuffle-free on the corpus side.
+    # per hydration side). At 10^12 docs, bucket the stored docs table
+    # by doc_id AND hydrate the old and batch sides separately — this
+    # union voids the bucketed scan's output partitioning (a union's
+    # partitioning is unknown), so joining docs_union pays a docs-side
+    # shuffle that a split hydration against the bucketed scan itself
+    # would not. Locally the docs side broadcasts and the union form
+    # is both simpler and measured-equal.
     docs_union = state.docs.unionByName(new_docs)
 
     if cfg.idf_max_entries is not None:
