@@ -106,9 +106,18 @@ class MatchState:
 class IncrementalResult:
     state: MatchState     # the grown state (docs/keys/clusters updated)
     new_docs: DataFrame   # prepared batch docs
+    new_keys: DataFrame   # the batch's blocking keys — the keys-table delta
     pairs: DataFrame      # candidate pairs touching the batch
-    scored: DataFrame     # pairs + features + score
+    scored: DataFrame     # pairs + features + score — the scored-table delta
     matches: DataFrame    # scored >= threshold
+    # the clusters-table delta pair: prior clusters a new edge reached
+    # (cluster_id) and their recomputed rows (doc_id, cluster_id) —
+    # what commit_increment() deletes and appends on Iceberg
+    affected_clusters: DataFrame
+    cluster_changed: DataFrame
+    # False when the result retired stored rows (upsert_pages): the
+    # deltas are then not append-only and commit_increment() refuses
+    append_only: bool = True
 
 
 def initial_state(
@@ -251,7 +260,7 @@ def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalRes
     )
     matches = scored.filter(F.col("score") >= cfg.threshold)
 
-    clusters = _merge_clusters(state.clusters, matches, new_docs)
+    clusters, affected, changed = _merge_clusters(state.clusters, matches, new_docs)
 
     new_state = MatchState(
         docs=docs_union,
@@ -264,14 +273,15 @@ def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalRes
         ),
     )
     return IncrementalResult(
-        state=new_state, new_docs=new_docs, pairs=pairs,
+        state=new_state, new_docs=new_docs, new_keys=new_keys, pairs=pairs,
         scored=scored, matches=matches,
+        affected_clusters=affected, cluster_changed=changed,
     )
 
 
 def _merge_clusters(
     prior: DataFrame, matches: DataFrame, new_docs: DataFrame
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fold new match edges into prior clusters, touching only clusters
     a new edge reaches.
 
@@ -319,7 +329,7 @@ def _merge_clusters(
     )
     changed = assign_clusters(changed_ids, components)
     unchanged = prior.join(affected, "cluster_id", "left_anti")
-    return unchanged.unionByName(changed)
+    return unchanged.unionByName(changed), affected, changed
 
 
 # --- state persistence -------------------------------------------------
@@ -404,6 +414,102 @@ def load_state(
     )
     scored = read_pages(spark, scored_t) if has_scored else None
     return MatchState(cfg=cfg or MatchConfig(), scored=scored, **dfs)
+
+
+def commit_increment(result: IncrementalResult, path: str) -> None:
+    """Commit an :func:`incremental_match` result IN PLACE at ``path``
+    with O(batch) writes — the nightly-crawl commit.
+
+    :func:`save_state` rewrites every table: O(corpus) per batch, which
+    at 10^12 docs dwarfs the batch's own compute. The grow step is
+    append-only everywhere except clusters, so this commits:
+
+    - ``docs`` / ``keys`` / ``scored``: APPEND the batch deltas
+      (``new_docs``, ``new_keys``, ``scored``) — O(batch);
+    - ``idf``: untouched — it is the frozen external dictionary the
+      state was built under (see :func:`initial_state`);
+    - ``clusters``: the one table with in-place mutations. On a catalog
+      with row-level deletes (Iceberg), DELETE the affected clusters'
+      rows and APPEND their recomputed rows — O(affected clusters).
+      The session catalog and parquet dirs have no row-level ops, so
+      they fall back to one full overwrite of the clusters table from
+      a materialized plan — still O(corpus), but clusters is the
+      narrowest table (two ids per doc) and it is the ONLY table that
+      pays it; on Iceberg nothing does.
+
+    Ordering is load-bearing: every delta is materialized (eager
+    ``localCheckpoint``) BEFORE the first write, because the result's
+    plans lazily re-scan the stored tables this function mutates —
+    e.g. appending batch docs to the stored docs table before the
+    scored delta ran would hydrate batch pairs against doubled rows.
+    The deltas are O(batch)-sized, so the cuts are cheap; the parquet
+    fallback additionally materializes the merged clusters table.
+
+    Only valid for a result produced by ``incremental_match`` over the
+    state as stored at ``path``. :func:`upsert_pages` results RETIRE
+    stored rows (their deltas are not append-only) and refuse here —
+    commit those with :func:`save_state` to a fresh target, or with
+    engine row-level ops once the deployment has them.
+    """
+    from pyspark.errors import AnalysisException
+
+    from entitymatch_spark.sources.readers import is_table_name, write_table
+
+    if not result.append_only:
+        raise ValueError(
+            "result retired stored rows (upsert_pages); commit_increment "
+            "is append-only — use save_state to a fresh target"
+        )
+    new_docs = result.new_docs.localCheckpoint(eager=True)
+    new_keys = result.new_keys.localCheckpoint(eager=True)
+    scored = result.scored.localCheckpoint(eager=True)
+    spark = new_docs.sparkSession
+
+    clusters_t = _state_target(path, "clusters")
+    committed_clusters = False
+    if is_table_name(path):
+        # affected/cluster_changed are already checkpointed or sit atop
+        # checkpointed frames in _merge_clusters; cut them here anyway —
+        # the DELETE below mutates the table their lineage references.
+        affected = result.affected_clusters.localCheckpoint(eager=True)
+        changed = result.cluster_changed.localCheckpoint(eager=True)
+        view = "em_commit_affected_clusters"
+        affected.createOrReplaceTempView(view)
+        try:
+            spark.sql(
+                f"DELETE FROM {clusters_t} WHERE cluster_id IN "
+                f"(SELECT cluster_id FROM {view})"
+            )
+            write_table(changed, clusters_t, mode="append")
+            committed_clusters = True
+        except AnalysisException as exc:
+            # only the capability gap falls back (session-catalog V1
+            # tables have no row-level ops); anything else is a real
+            # error — same narrowing discipline as readers.write_table
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            ) or ""
+            if not (
+                "UNSUPPORTED_FEATURE" in cond
+                or "supports_delete" in str(exc)
+                or "DELETE is only supported with v2 tables" in str(exc)
+            ):
+                raise
+        finally:
+            spark.catalog.dropTempView(view)
+    if not committed_clusters:
+        # no row-level ops: one full overwrite, from a materialized
+        # plan (the lazy merged plan reads the table being replaced)
+        write_table(
+            result.state.clusters.localCheckpoint(eager=True), clusters_t
+        )
+
+    write_table(new_docs, _state_target(path, "docs"), mode="append")
+    write_table(new_keys, _state_target(path, "keys"), mode="append")
+    if result.state.scored is not None:
+        write_table(scored, _state_target(path, "scored"), mode="append")
 
 
 def rethreshold(
@@ -565,6 +671,11 @@ def upsert_pages(state: MatchState, pages: DataFrame) -> IncrementalResult:
     incremental_match. This is the nightly-crawl shape for a corpus
     keyed by url: the same url at a newer ``warc_ts`` supersedes.
     """
+    from dataclasses import replace
+
     ids = pages.select(F.col(state.cfg.id_col).alias("doc_id"))
     present = state.docs.join(ids, "doc_id", "semi").select("doc_id")
-    return incremental_match(remove_docs(state, present), pages)
+    res = incremental_match(remove_docs(state, present), pages)
+    # the remove leg retired stored rows: this result's deltas are not
+    # append-only relative to the stored state — commit via save_state
+    return replace(res, append_only=False)

@@ -14,6 +14,8 @@ State lifecycle (plans/incremental.py — the nightly-crawl deployment):
     ... run_pipeline.py --mode build  --input pages  --output out --state-out st0
     ... run_pipeline.py --mode grow   --input batch  --output out \
             --state-dir st0 --state-out st1          # score only batch-touching pairs
+    ... run_pipeline.py --mode grow   --input batch2 --output out \
+            --state-dir st1 --commit-in-place        # O(batch) delta commit, no st2
     ... run_pipeline.py --mode upsert --input recrawl --output out \
             --state-dir st1 --state-out st2          # same-url fresher-crawl replace
     ... run_pipeline.py --mode remove --delete-ids ids_parquet --output out \
@@ -23,12 +25,17 @@ State lifecycle (plans/incremental.py — the nightly-crawl deployment):
 
 Every mode writes (url, cluster_id) parquet under --output plus a
 metrics.json. State-mutating modes write the successor state to
---state-out — a NEW directory, never in place: the grown tables are
+--state-out — a NEW directory, not in place: the grown tables are
 lazy plans READING the prior state's parquet, and parquet has no
 atomic replace (an Iceberg deployment would commit a snapshot instead;
 here the prior dir stays valid until the new one is fully written —
-retire it once the write returns). On a cluster, master/executor
-sizing come from spark-submit flags; this script only declares plans.
+retire it once the write returns). The exception is grow's
+--commit-in-place, which routes through commit_increment(): the
+batch's deltas are MATERIALIZED first, then appended to the standing
+tables (clusters replaced — row-level delete+append on Iceberg, full
+overwrite here), so the nightly commit costs O(batch) writes instead
+of an O(corpus) rewrite. On a cluster, master/executor sizing come
+from spark-submit flags; this script only declares plans.
 
 The --py-files zip is optional: ensure_workers_can_import() zips and
 ships the package to executor python workers automatically (works for
@@ -71,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--state-out", default=None,
                     help="where to save the successor state (build/grow/"
                     "upsert/remove/rethreshold); must not equal --state-dir")
+    ap.add_argument("--commit-in-place", action="store_true",
+                    help="grow only: commit the batch to --state-dir "
+                    "itself via commit_increment (O(batch) delta appends; "
+                    "clusters replaced) instead of writing a full "
+                    "successor state to --state-out")
     ap.add_argument("--delete-ids", default=None,
                     help="one-column parquet of ids to retire (mode=remove)")
     return ap
@@ -100,12 +112,14 @@ def run(args, spark) -> dict:
     needs_input = args.mode in ("run", "build", "grow", "upsert")
     if needs_input and not args.input:
         raise SystemExit(f"--input is required for mode={args.mode}")
+    if args.commit_in_place and args.mode != "grow":
+        raise SystemExit("--commit-in-place is only valid for mode=grow")
     if args.mode != "run":
-        if args.state_out is None:
+        if args.state_out is None and not args.commit_in_place:
             raise SystemExit("--state-out is required for state modes")
         if args.mode != "build" and args.state_dir is None:
             raise SystemExit(f"--state-dir is required for mode={args.mode}")
-        if args.state_out == args.state_dir:
+        if args.state_out is not None and args.state_out == args.state_dir:
             raise SystemExit(
                 "--state-out must differ from --state-dir: the successor "
                 "state's plans read the prior dir (no in-place replace "
@@ -150,12 +164,25 @@ def run(args, spark) -> dict:
         else:  # rethreshold
             st = load_state(spark, args.state_dir, cfg)
             state = rethreshold(st, threshold=args.threshold)
-        save_state(state, args.state_out)
-        # clusters were just materialized by save_state; re-read for the
+        if args.commit_in_place:
+            from entitymatch_spark.plans.incremental import commit_increment
+
+            commit_increment(res, args.state_dir)
+            committed_to = args.state_dir
+        else:
+            save_state(state, args.state_out)
+            committed_to = args.state_out
+        # clusters were just materialized by the commit; re-read for the
         # output copy instead of re-running the CC plan
-        saved = spark.read.parquet(f"{args.state_out}/clusters")
+        saved = spark.read.parquet(f"{committed_to}/clusters")
         saved.write.mode("overwrite").parquet(f"{args.output}/clusters")
-        metrics.update(n_docs=state.docs.count(), n_clusters_rows=saved.count())
+        # count docs from the committed dir, not state.docs: after an
+        # in-place commit that lazy plan re-reads the appended table
+        # and would double-count the batch
+        metrics.update(
+            n_docs=spark.read.parquet(f"{committed_to}/docs").count(),
+            n_clusters_rows=saved.count(),
+        )
 
     metrics["wall_sec"] = round(time.time() - t0, 2)
     out = Path(args.output) / "metrics.json"

@@ -377,3 +377,70 @@ def test_state_bucketed_keys_standing_side_never_shuffles(spark, setup):
 def test_bucketed_write_needs_catalog(tmp_path, setup):
     with pytest.raises(ValueError, match="catalog"):
         save_state(setup["st0"], str(tmp_path / "st"), key_buckets=8)
+
+
+def test_commit_increment_in_place(spark, tmp_path, setup):
+    """commit_increment appends the batch deltas to the stored state IN
+    PLACE — prior data files stay untouched (the O(batch) commit
+    evidence) — and the reloaded state equals the in-memory grown one."""
+    from pathlib import Path
+
+    from entitymatch_spark.plans.incremental import commit_increment
+
+    path = str(tmp_path / "state")
+    save_state(setup["st0"], path)
+    files_before = {
+        part: sorted(p.name for p in (Path(path) / part).glob("*.parquet"))
+        for part in ("docs", "keys", "scored")
+    }
+    loaded = load_state(spark, path, setup["cfg"])
+    res = incremental_match(loaded, setup["batch"])
+    commit_increment(res, path)
+    for part, before in files_before.items():
+        after = sorted(p.name for p in (Path(path) / part).glob("*.parquet"))
+        assert set(before) <= set(after), part  # appended, never rewritten
+        assert len(after) > len(before), part
+    grown = load_state(spark, path, setup["cfg"])
+    exp = setup["inc"].state
+    assert _clusters(grown.clusters) == _clusters(exp.clusters)
+    assert sorted(r.doc_id for r in grown.docs.select("doc_id").collect()) == sorted(
+        r.doc_id for r in exp.docs.select("doc_id").collect()
+    )
+    assert sorted((r.doc_id, r.key) for r in grown.keys.collect()) == sorted(
+        (r.doc_id, r.key) for r in exp.keys.collect()
+    )
+    assert _pairs(grown.scored) == _pairs(exp.scored)
+
+
+def test_commit_increment_rejects_upsert(tmp_path, setup):
+    from entitymatch_spark.plans.incremental import commit_increment, upsert_pages
+
+    res = upsert_pages(setup["st0"], setup["batch"].limit(3))
+    with pytest.raises(ValueError, match="append-only"):
+        commit_increment(res, str(tmp_path / "nope"))
+
+
+def test_commit_increment_catalog_fallback(spark, setup):
+    """On a catalog without row-level DELETE (the session catalog) the
+    clusters leg falls back — narrowly, through the capability check —
+    to a full overwrite; the delta appends still apply, and the
+    reloaded state equals the grown one."""
+    from entitymatch_spark.plans.incremental import commit_increment
+
+    prefix = "default.em_state_ci"
+    parts = ("docs", "keys", "idf", "clusters", "scored")
+    for part in parts:
+        spark.sql(f"drop table if exists {prefix}_{part}")
+    save_state(setup["st0"], prefix)
+    try:
+        loaded = load_state(spark, prefix, setup["cfg"])
+        res = incremental_match(loaded, setup["batch"])
+        commit_increment(res, prefix)
+        grown = load_state(spark, prefix, setup["cfg"])
+        exp = setup["inc"].state
+        assert _clusters(grown.clusters) == _clusters(exp.clusters)
+        assert grown.docs.count() == exp.docs.count()
+        assert _pairs(grown.scored) == _pairs(exp.scored)
+    finally:
+        for part in parts:
+            spark.sql(f"drop table if exists {prefix}_{part}")
