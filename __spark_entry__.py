@@ -898,6 +898,44 @@ def q_dedup_simhash_oracle(spark, sf):
     return simhash_md5_dedup_pairs(_docs(spark, sf), max_hamming=3)
 
 
+def q_dedup_survivors(spark, sf):
+    """Dedup MATERIALIZATION — the keep-set decision a training-data
+    pipeline actually ships, not just the near-dup pair list: MinHash-
+    LSH blocking (portable md5 variant so the oracle reproduces the
+    keys bit-for-bit) -> exact token-set jaccard verify at >= 0.5
+    (integer cross-multiplied form, 2*|A∩B| >= |A∪B|, so Spark and
+    DuckDB agree without float division) -> connected components over
+    verified pairs (near-dup similarity is NOT transitive; pairwise
+    keep-one under-deletes chains) -> keep the min-id representative
+    per duplicate cluster. Output: surviving doc ids + n_members (how
+    many corpus docs each survivor stands for — the reweighting count
+    for downstream sampling)."""
+    from entitymatch_spark.operators.blocking import (
+        candidate_pairs, lsh_band_keys, minhash_signature,
+    )
+    from entitymatch_spark.operators.dedup import dedup_survivors
+
+    d = _docs(spark, sf).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sigs = minhash_signature(d, num_hashes=16, token_hash="md5")
+    keys = lsh_band_keys(sigs, bands=4, rows_per_band=4, band_hash="concat")
+    cand = candidate_pairs(keys, max_block=32)
+    ts = d.select("doc_id", F.array_distinct("tokens").alias("ts"))
+    a = ts.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = ts.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    ver = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .filter(2 * inter >= union)
+        .select("id_a", "id_b")
+    )
+    return dedup_survivors(
+        _t(spark, sf, "documents").select("doc_id"), ver
+    ).select("doc_id", "n_members")
+
+
 def q_winnowing_fingerprints(spark, sf):
     from entitymatch_spark.operators.textstats import winnowing_fingerprints
 
@@ -1235,6 +1273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_stats": q_blocking_stats,
         # NEW round 3: post-run cluster-size histogram observability
         "cluster_stats": q_cluster_stats,
+        # NEW round 3: dedup keep-set materialization (LSH block ->
+        # exact jaccard verify -> CC -> keep min-id representative)
+        "dedup_survivors": q_dedup_survivors,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -1832,6 +1873,46 @@ def oracle_sql() -> dict[str, str]:
                      FROM kk a JOIN kk b USING (key)
                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
             SELECT id_a, id_b, n_keys FROM cand
+        """,
+        # dedup keep-set materialization: same portable MinHash-LSH key
+        # chain as dedup_minhash_oracle, then exact token-set jaccard
+        # verify (integer cross-multiplied, no float division), then a
+        # recursive transitive closure, then keep the min-id
+        # representative per duplicate cluster; n_members reweights
+        # survivors by how many docs they stand for
+        "dedup_survivors": f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, list_distinct({TOKS}) AS ts
+                          FROM documents WHERE len({TOKS}) > 0),
+            tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hv
+                  FROM tok),
+            sig AS (SELECT doc_id, {mh_sig_cols} FROM h GROUP BY doc_id),
+            keys AS ({mh_band_selects}),
+            ok AS (SELECT key FROM keys GROUP BY key HAVING count(*) <= 32),
+            kk AS (SELECT k.doc_id, k.key FROM keys k JOIN ok USING (key)),
+            cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM kk a JOIN kk b USING (key)
+                     WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            ver AS (SELECT c.id_a, c.id_b
+                    FROM cand c JOIN toks ta ON ta.doc_id = c.id_a
+                    JOIN toks tb ON tb.doc_id = c.id_b
+                    WHERE 2 * len(list_intersect(ta.ts, tb.ts))
+                          >= len(ta.ts) + len(tb.ts)
+                             - len(list_intersect(ta.ts, tb.ts))),
+            bidir AS (SELECT id_a AS u, id_b AS v FROM ver
+                      UNION SELECT id_b, id_a FROM ver),
+            reach(u, v) AS (SELECT u, v FROM bidir
+                            UNION
+                            SELECT r.u, e.v FROM reach r JOIN bidir e ON r.v = e.u),
+            comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                     FROM reach GROUP BY u),
+            sz AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY 1),
+            losers AS (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
+            SELECT d.doc_id, coalesce(sz.n_members, 1) AS n_members
+            FROM documents d
+            LEFT JOIN sz ON sz.cluster_id = d.doc_id
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         # SimHash, portable variant: md5 bit source, signed tf sums per
         # bit, 4x16-bit band blocking, hamming verify — the whole

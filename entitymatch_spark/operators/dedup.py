@@ -315,3 +315,50 @@ def ngram_jaccard_pairs(
     union = F.size(F.array_union("sa", "sb"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     return pairs.join(a, "id_a").join(b, "id_b").withColumn("jaccard", jac).drop("sa", "sb")
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """Materialize the DEDUPLICATED corpus from near-dup pairs.
+
+    The pair-producing family above answers "which docs are near-dups
+    of each other"; a training-data pipeline then has to answer "which
+    rows do I keep". Near-dup similarity is not transitive, so keeping
+    one doc per PAIR under-deletes (A~B, B~C keeps A and C even when
+    the chain means one document); the standard resolution (and the
+    reference's — clusters are transitive closures of matched pairs,
+    ref: EntityMatch/Matcher.cs interpretation merge) is connected
+    components over the pair graph, keeping the minimum id of each
+    component as its canonical representative.
+
+    Returns the SURVIVING docs (all columns) + ``n_members`` — how many
+    corpus docs this survivor stands for (1 for unique docs), so
+    downstream sampling can reweight by duplication count.
+
+    Scale: components come from the large-star/small-star loop (O(log n)
+    rounds, each a narrow groupBy); the loser set is component members
+    minus roots — at web scale that can be a large fraction of the
+    corpus, so it is removed with a hash anti-join on the id (never a
+    broadcast/isin), and sizes ride a second equi-join on the root id.
+    """
+    from entitymatch_spark.operators.clustering import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        **cc_kwargs,
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return (
+        docs.join(losers, id_col, "left_anti")
+        .join(
+            sizes.withColumnRenamed("component", id_col), id_col, "left"
+        )
+        .withColumn("n_members", F.coalesce("n_members", F.lit(1).cast("long")))
+    )

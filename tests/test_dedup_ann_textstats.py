@@ -442,3 +442,22 @@ def test_token_count_bpe_properties(spark):
     # pieces >= words >= ws-ish ordering holds on real text
     r2 = rows[2]
     assert r2["n_pieces"] >= r2["n_words"] >= r2["n_ws"]
+
+
+def test_dedup_survivors_chain_closure(spark):
+    # A~B and B~C but NOT A~C: pairwise keep-one would keep A and C;
+    # the component closure must keep only one of the chain.
+    from entitymatch_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["n_members"] for r in
+           dedup_survivors(docs, pairs).collect()}
+    # survivors: 0 (stands for 0,1,2), 3 (unique), 4 (stands for 4,5)
+    assert out == {0: 3, 3: 1, 4: 2}
+    # survivors' member counts cover the whole corpus exactly once
+    assert sum(out.values()) == 6
