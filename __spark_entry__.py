@@ -936,6 +936,25 @@ def q_dedup_survivors(spark, sf):
     ).select("doc_id", "n_members")
 
 
+def q_curate_corpus(spark, sf):
+    """One-call corpus curation (plans/curate.py): quality filter at
+    0.62 -> near-dup dedup over the FILTERED pool (portable md5/concat
+    LSH chain + integer jaccard verify + transitive closure + min-id
+    keep) -> deterministic md5 sampling keeping 70% of survivors.
+    The composed keep-set decision a training run ships, value-checked
+    end-to-end stage by stage in one DuckDB query."""
+    from entitymatch_spark.plans.curate import CurateConfig, curate
+
+    cfg = CurateConfig(
+        quality_min=0.62,
+        sample_keep=7000,
+        token_hash="md5",
+        band_hash="concat",
+    )
+    docs = _fan(spark, _t(spark, sf, "documents")).select("doc_id", "text")
+    return curate(docs, cfg).withColumn("quality", F.round("quality", 4))
+
+
 def q_winnowing_fingerprints(spark, sf):
     from entitymatch_spark.operators.textstats import winnowing_fingerprints
 
@@ -1276,6 +1295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 3: dedup keep-set materialization (LSH block ->
         # exact jaccard verify -> CC -> keep min-id representative)
         "dedup_survivors": q_dedup_survivors,
+        # NEW round 3: composed curation plan (quality -> dedup ->
+        # deterministic sample) — the one-call training keep-set
+        "curate_corpus": q_curate_corpus,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -1913,6 +1935,58 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN sz ON sz.cluster_id = d.doc_id
             WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        # composed curation: quality gate (unrounded doubles, same
+        # integer-sourced expression structure both engines) -> dedup
+        # chain over the FILTERED pool -> min-id keep -> deterministic
+        # md5 sample of survivors
+        "curate_corpus": f"""
+            WITH RECURSIVE d0 AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+            m AS (SELECT doc_id, tk, len(tk) AS n,
+                         len(list_distinct(tk)) AS u,
+                         len(list_filter(tk, t -> list_contains([{stops_list}], t))) AS s,
+                         list_aggregate(list_transform(tk, t -> length(t)), 'sum') AS tl
+                  FROM d0 WHERE len(tk) > 0),
+            q AS (SELECT doc_id, tk, CAST(n AS BIGINT) AS n_tokens,
+                         0.4 * (u / n) + 0.3 * (1.0 - s / n)
+                         + 0.3 * least(tl / n / 8.0, 1.0) AS quality
+                  FROM m
+                  WHERE 0.4 * (u / n) + 0.3 * (1.0 - s / n)
+                        + 0.3 * least(tl / n / 8.0, 1.0) >= 0.62),
+            toks AS (SELECT doc_id, list_distinct(tk) AS ts FROM q),
+            tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hv
+                  FROM tok),
+            sig AS (SELECT doc_id, {mh_sig_cols} FROM h GROUP BY doc_id),
+            keys AS ({mh_band_selects}),
+            ok AS (SELECT key FROM keys GROUP BY key HAVING count(*) <= 32),
+            kk AS (SELECT k.doc_id, k.key FROM keys k JOIN ok USING (key)),
+            cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM kk a JOIN kk b USING (key)
+                     WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            ver AS (SELECT c.id_a, c.id_b
+                    FROM cand c JOIN toks ta ON ta.doc_id = c.id_a
+                    JOIN toks tb ON tb.doc_id = c.id_b
+                    WHERE 2 * len(list_intersect(ta.ts, tb.ts))
+                          >= len(ta.ts) + len(tb.ts)
+                             - len(list_intersect(ta.ts, tb.ts))),
+            bidir AS (SELECT id_a AS u, id_b AS v FROM ver
+                      UNION SELECT id_b, id_a FROM ver),
+            reach(u, v) AS (SELECT u, v FROM bidir
+                            UNION
+                            SELECT r.u, e.v FROM reach r JOIN bidir e ON r.v = e.u),
+            comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                     FROM reach GROUP BY u),
+            sz AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY 1),
+            losers AS (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
+            SELECT q.doc_id, q.n_tokens, round(q.quality, 4) AS quality,
+                   coalesce(sz.n_members, 1) AS n_members
+            FROM q
+            LEFT JOIN sz ON sz.cluster_id = q.doc_id
+            WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
+              AND ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 10000 < 7000
         """,
         # SimHash, portable variant: md5 bit source, signed tf sums per
         # bit, 4x16-bit band blocking, hamming verify — the whole

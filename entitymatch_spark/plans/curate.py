@@ -1,0 +1,137 @@
+"""One-call training-corpus curation: quality filter -> near-dup
+dedup -> deterministic sampling.
+
+The operator family answers the individual questions (how good is this
+doc, which docs duplicate each other, which rows to keep); a training
+run needs the composed decision — from raw pages to the final
+reweighted keep-set — as ONE plan, so the stages share tokenization,
+the dedup pool is the already-quality-filtered corpus (dedup on the
+rejected tail is wasted work at 100 TB), and the sample is drawn from
+SURVIVORS (sampling before dedup would bias ``n_members``).
+
+Every stage is one of the repo's audited operators, so the composition
+adds no new shuffle: quality is per-row column math, the dedup chain is
+the banded LSH -> purge-capped block join -> components loop, and the
+sample is a narrow hash filter. Determinism end-to-end: content-hash
+sampling (md5 of the id, never rand()) keeps the decision stable across
+cluster sizes and reruns — the property that makes a 100 TB curation
+job resumable and its output reproducible.
+
+ref: the reference has no curation flow (it is a query engine);
+this plan is the task brief's training-data-pipeline extension built
+from the EntityMatch-derived blocking/clustering machinery
+(EntityMatch/Matcher.cs transitive interpretation merge).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class CurateConfig:
+    """Dials for :func:`curate`.
+
+    ``jaccard_threshold`` is a RATIONAL (num, den): a verified pair
+    needs ``den * |A∩B| >= num * (|A|+|B|-|A∩B|)`` — integer
+    cross-multiplication, so Spark and any SQL oracle agree on the
+    boundary without float division.
+
+    ``sample_keep``/``sample_mod``: keep a survivor iff
+    ``md5_int(id) % sample_mod < sample_keep`` (None = keep all).
+    Content-deterministic — the same docs survive at any parallelism.
+    """
+
+    quality_min: float = 0.62
+    minhash_hashes: int = 16
+    bands: int = 4
+    rows_per_band: int = 4
+    max_block: int = 32
+    jaccard_threshold: tuple[int, int] = (1, 2)
+    sample_keep: int | None = None
+    sample_mod: int = 10000
+    token_hash: str = "xxhash64"  # "md5" = oracle-portable variant
+    band_hash: str = "xxhash64"   # "concat" = oracle-portable variant
+    seed: int = 42
+
+
+def sample_hash(id_col, mod: int):
+    """Deterministic per-id sampling hash in [0, mod): first 8 md5 hex
+    chars of the id's decimal string, as an integer. Portable — any
+    engine with md5 reproduces the keep decision."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % mod
+    )
+
+
+def curate(
+    docs: DataFrame,
+    cfg: CurateConfig = CurateConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, quality, n_members) for every doc that survives
+    quality filter -> near-dup dedup -> sampling.
+
+    ``n_members`` counts the QUALITY-FILTERED docs each survivor stands
+    for (the reweighting factor for downstream sampling); docs rejected
+    on quality never enter the dedup pool.
+    """
+    from entitymatch_spark.functions.text import tokenize
+    from entitymatch_spark.operators.blocking import (
+        candidate_pairs,
+        lsh_band_keys,
+        minhash_signature,
+    )
+    from entitymatch_spark.operators.dedup import dedup_survivors
+    from entitymatch_spark.operators.textstats import quality_score
+
+    toks = docs.select(F.col(id_col), tokenize(text_col).alias("tokens"))
+    stats = quality_score(toks, id_col=id_col).filter(
+        F.col("quality") >= cfg.quality_min
+    )
+    pool = toks.join(stats.select(id_col), id_col)
+
+    sigs = minhash_signature(
+        pool,
+        id_col=id_col,
+        num_hashes=cfg.minhash_hashes,
+        seed=cfg.seed,
+        token_hash=cfg.token_hash,
+    )
+    keys = lsh_band_keys(
+        sigs,
+        bands=cfg.bands,
+        rows_per_band=cfg.rows_per_band,
+        id_col=id_col,
+        band_hash=cfg.band_hash,
+    )
+    cand = candidate_pairs(keys, max_block=cfg.max_block)
+
+    ts = pool.select(
+        F.col(id_col), F.array_distinct("tokens").alias("ts")
+    )
+    a = ts.select(F.col(id_col).alias("id_a"), F.col("ts").alias("ts_a"))
+    b = ts.select(F.col(id_col).alias("id_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    num, den = cfg.jaccard_threshold
+    ver = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(den * inter >= num * union)
+        .select("id_a", "id_b")
+    )
+
+    out = dedup_survivors(
+        stats.select(id_col, "n_tokens", "quality"), ver, id_col=id_col
+    )
+    if cfg.sample_keep is not None:
+        out = out.filter(
+            sample_hash(id_col, cfg.sample_mod) < cfg.sample_keep
+        )
+    return out.select(id_col, "n_tokens", "quality", "n_members")

@@ -1,0 +1,56 @@
+"""Curation plan (plans/curate.py): quality gate, dedup pool scoping,
+deterministic sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entitymatch_spark.plans.curate import CurateConfig, curate, sample_hash
+
+
+def _pages(spark):
+    rich = (
+        "federated learning converges faster when gradients compress "
+        "sparsely across heterogeneous silos worldwide"
+    )
+    rows = [
+        (0, rich),
+        (1, rich + " tonight"),                     # near dup of 0
+        (2, "the the the the the the the the"),     # stopword sludge -> low quality
+        (3, "unique prose about parquet shuffle topology and adaptive salting"),
+        (4, ""),                                    # empty -> dropped
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_gates_and_members(spark):
+    out = {r["doc_id"]: r for r in curate(_pages(spark), CurateConfig()).collect()}
+    # low-quality and empty docs never reach the output or the dedup pool
+    assert 2 not in out and 4 not in out
+    # 0 and 1 are near-dups: min-id survivor stands for both
+    assert 0 in out and 1 not in out and out[0]["n_members"] == 2
+    assert out[3]["n_members"] == 1
+    # member counts cover exactly the quality-filtered pool
+    assert sum(r["n_members"] for r in out.values()) == 3
+
+
+def test_curate_sampling_deterministic(spark):
+    pages = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("document body variant number "), F.col("id").cast("string"),
+            F.lit(" carries distinct entropy payload"),
+        ).alias("text"),
+    )
+    cfg = CurateConfig(quality_min=0.0, sample_keep=5000)
+    a = {r["doc_id"] for r in curate(pages, cfg).collect()}
+    b = {r["doc_id"] for r in curate(pages.repartition(7), cfg).collect()}
+    # content-hash sampling: identical keep-set at any partitioning
+    assert a == b
+    assert 0 < len(a) < 200
+    # the keep rule is exactly the documented hash predicate
+    pred = {
+        r["doc_id"]
+        for r in pages.filter(sample_hash("doc_id", 10000) < 5000).collect()
+    }
+    assert a == pred
