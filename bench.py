@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_exact",
+    # composed curation keep-set (quality -> LSH dedup -> closure ->
+    # md5 sample) in the portable-hash variant — the training-data
+    # pipeline leg
+    "curate_corpus",
     "winnowing_fingerprints",
     "agg_lineitem",
     "histogram_summary",
