@@ -955,6 +955,20 @@ def q_curate_corpus(spark, sf):
     return curate(docs, cfg).withColumn("quality", F.round("quality", 4))
 
 
+def q_decontam_report(spark, sf):
+    """Benchmark decontamination audit (operators/decontam.py): corpus
+    docs sharing >= 2 distinct word 3-grams with the benchmark split
+    (every 50th doc stands in for an eval set). Benchmark gram set is
+    broadcast; the corpus probe is explode -> broadcast semi-join ->
+    per-doc count — one shuffle total (the final id groupBy)."""
+    from entitymatch_spark.operators.decontam import contamination_report
+
+    d = _docs(spark, sf)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_report(corpus, bench, n=3, min_hits=2)
+
+
 def q_winnowing_fingerprints(spark, sf):
     from entitymatch_spark.operators.textstats import winnowing_fingerprints
 
@@ -1298,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 3: composed curation plan (quality -> dedup ->
         # deterministic sample) — the one-call training keep-set
         "curate_corpus": q_curate_corpus,
+        # NEW round 3: benchmark decontamination (n-gram overlap audit)
+        "decontam_report": q_decontam_report,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -1987,6 +2003,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
               AND ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT
                   % 10000 < 7000
+        """,
+        # decontamination audit: distinct word 3-grams shared with the
+        # benchmark split (every 50th doc), threshold 2 — grams built
+        # with the same shingle construction as the dedup family
+        "decontam_report": f"""
+            WITH d AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(
+                             CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+                                  ELSE list_transform(
+                                      generate_series(1, len(tk) - 2),
+                                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                             END)) AS gram
+                  FROM d),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 != 0)
+            SELECT doc_id, count(*) AS n_hits
+            FROM cg JOIN bg USING (gram)
+            GROUP BY doc_id
+            HAVING count(*) >= 2
         """,
         # SimHash, portable variant: md5 bit source, signed tf sums per
         # bit, 4x16-bit band blocking, hamming verify — the whole

@@ -1,0 +1,89 @@
+"""Benchmark decontamination: drop training docs that overlap an
+evaluation set on word n-grams.
+
+The standard training-data hygiene step (GPT-3 App. C / The Pile use
+13-gram overlap): any training doc sharing >= ``min_hits`` distinct
+word n-grams with ANY benchmark doc is contaminated and removed.
+
+Shape at 100 TB: the benchmark side is tiny relative to the corpus
+(eval sets are thousands of docs, the corpus is billions), so its
+distinct n-gram set is BROADCAST and the corpus-side probe is a
+narrow explode -> broadcast-hash semi-join -> per-doc count: the only
+shuffle is the final groupBy on the doc id. If the benchmark outgrows
+broadcast (pass ``broadcast_benchmark=False``), the join falls back to
+a hash join on the gram — still an equi-join, never all-pairs.
+
+The reference has no decontamination flow (it is a query engine);
+this is a task-brief training-data extension reusing the n-gram
+shingle expression of the dedup family (dedup.py ngram_jaccard_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ngram_expr(tokens_col: str, n: int):
+    """array<string> of space-joined word n-grams (empty when the doc
+    has fewer than n tokens) — same construction as the dedup family's
+    shingles, shared so dedup and decontamination agree on what an
+    n-gram is."""
+    return F.when(
+        F.size(tokens_col) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, size({tokens_col}) - {n}), i -> "
+            + f"concat_ws(' ', {', '.join(f'{tokens_col}[i+{j}]' for j in range(n))}))"
+        )
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(id, n_hits) for every corpus doc sharing >= ``min_hits``
+    DISTINCT word n-grams with the benchmark — the audit table a
+    pipeline reviews before deleting anything."""
+    bg = (
+        benchmark.select(
+            F.explode(F.array_distinct(ngram_expr(tokens_col, n))).alias("gram")
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    cg = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngram_expr(tokens_col, n))).alias("gram"),
+    )
+    return (
+        cg.join(bg, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The surviving corpus: ``corpus`` minus contaminated docs, via a
+    hash anti-join on the id (the contaminated set can be large — never
+    collected or broadcast)."""
+    flagged = contamination_report(
+        corpus, benchmark, n, min_hits, id_col, tokens_col, broadcast_benchmark
+    )
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")

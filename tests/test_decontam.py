@@ -1,0 +1,56 @@
+"""Decontamination (operators/decontam.py): overlap semantics and the
+broadcast probe plan."""
+
+from __future__ import annotations
+
+from entitymatch_spark.operators.decontam import (
+    contamination_report,
+    decontaminate,
+)
+
+
+def _dfs(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta".split())],
+        "doc_id long, tokens array<string>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares bigrams "alpha beta" and "beta gamma" -> 2 hits
+            (0, "alpha beta gamma zeta".split()),
+            # shares only "delta" unigram, no bigram -> 0 hits
+            (1, "delta epsilon zeta eta".split()),
+            # shares exactly one bigram "gamma delta" -> 1 hit
+            (2, "gamma delta theta iota".split()),
+            # repeats a shared bigram: hits count DISTINCT grams -> 1
+            (3, "alpha beta kappa alpha beta".split()),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    return corpus, bench
+
+
+def test_report_counts_distinct_shared_grams(spark):
+    corpus, bench = _dfs(spark)
+    rep = {r["doc_id"]: r["n_hits"] for r in
+           contamination_report(corpus, bench, n=2, min_hits=1).collect()}
+    assert rep == {0: 2, 2: 1, 3: 1}
+
+
+def test_decontaminate_threshold(spark):
+    corpus, bench = _dfs(spark)
+    kept = {r["doc_id"] for r in
+            decontaminate(corpus, bench, n=2, min_hits=2).collect()}
+    # only doc 0 crosses the 2-distinct-gram threshold
+    assert kept == {1, 2, 3}
+
+
+def test_probe_is_broadcast_no_python(spark):
+    corpus, bench = _dfs(spark)
+    plan = (
+        contamination_report(corpus, bench, n=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
