@@ -969,6 +969,18 @@ def q_decontam_report(spark, sf):
     return contamination_report(corpus, bench, n=3, min_hits=2)
 
 
+def q_split_assign(spark, sf):
+    """Deterministic train/val/test assignment (plans/curate.py
+    split_assign): cumulative md5-bucket label per doc, 90/5/5.
+    Content-hash, so the label is stable across parallelism, reruns,
+    and corpus growth (no val->train leakage as the corpus grows)."""
+    from entitymatch_spark.plans.curate import split_assign
+
+    return split_assign(_t(spark, sf, "documents").select("doc_id")).select(
+        "doc_id", "split"
+    )
+
+
 def q_winnowing_fingerprints(spark, sf):
     from entitymatch_spark.operators.textstats import winnowing_fingerprints
 
@@ -1285,10 +1297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remove_docs, upsert_pages, blocking_stats, cluster_stats),
         # then every query that got NO CORRECTNESS row in round 2
         # (past the r2 cap) or changed this round, then r2-green rows.
-        # The ~17 entries past the cap (from quality_score down) are
-        # simple relational queries green in BOTH r1 and r2 — safest
-        # to go one round without re-verification (rotate them back
-        # into the top 50 in round 4).
+        # The ~21 entries past the cap (from dedup_ngram_jaccard down)
+        # are simple relational queries green in BOTH r1 and r2 —
+        # safest to go one round without re-verification (rotate them
+        # back into the top 50 in round 4).
         "match_clusters_token": q_match_clusters_token,
         "match_clusters_lsh": q_match_clusters_lsh,
         "match_clusters": q_match_clusters,
@@ -1314,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         # NEW round 3: benchmark decontamination (n-gram overlap audit)
         "decontam_report": q_decontam_report,
+        # NEW round 3: deterministic train/val/test hash assignment
+        "split_assign": q_split_assign,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -2023,6 +2037,17 @@ def oracle_sql() -> dict[str, str]:
             FROM cg JOIN bg USING (gram)
             GROUP BY doc_id
             HAVING count(*) >= 2
+        """,
+        # deterministic split assignment: cumulative md5-bucket label
+        "split_assign": """
+            WITH h AS (SELECT doc_id,
+                              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                              % 10000 AS hv
+                       FROM documents)
+            SELECT doc_id, CASE WHEN hv < 9000 THEN 'train'
+                                WHEN hv < 9500 THEN 'val'
+                                ELSE 'test' END AS split
+            FROM h
         """,
         # SimHash, portable variant: md5 bit source, signed tf sums per
         # bit, 4x16-bit band blocking, hamming verify — the whole

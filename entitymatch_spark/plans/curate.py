@@ -135,3 +135,48 @@ def curate(
             sample_hash(id_col, cfg.sample_mod) < cfg.sample_keep
         )
     return out.select(id_col, "n_tokens", "quality", "n_members")
+
+
+def split_assign(
+    docs: DataFrame,
+    splits: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    mod: int = 10000,
+    salt: str = "",
+) -> DataFrame:
+    """docs + a deterministic ``split`` label (train/val/test style).
+
+    ``splits`` maps label -> weight in ``mod``-ths; weights must sum to
+    ``mod`` (exact integer shares, no float drift). A doc's label is
+    decided by which cumulative bucket its content hash lands in —
+    md5 of salt + id, so (a) the assignment is identical at any
+    parallelism and rerun, (b) a different ``salt`` draws a fresh
+    independent partition without touching the data, and (c) adding
+    docs never moves existing docs between splits (the property a
+    growing corpus needs: yesterday's val doc must not leak into
+    today's train split).
+
+    Narrow per-row column math — no shuffle, valid in streaming plans.
+    """
+    splits = splits or {"train": 9000, "val": 500, "test": 500}
+    if sum(splits.values()) != mod:
+        raise ValueError(
+            f"split weights {splits} must sum to mod={mod} "
+            "(exact integer shares)"
+        )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % mod
+    )
+    expr = None
+    edge = 0
+    for label, weight in splits.items():
+        edge += weight
+        cond = h < edge
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return docs.withColumn("split", expr)

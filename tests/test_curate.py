@@ -54,3 +54,38 @@ def test_curate_sampling_deterministic(spark):
         for r in pages.filter(sample_hash("doc_id", 10000) < 5000).collect()
     }
     assert a == pred
+
+
+def test_split_assign_deterministic_and_stable(spark):
+    from entitymatch_spark.plans.curate import split_assign
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         split_assign(docs.repartition(13)).collect()}
+    assert a == b                                    # parallelism-invariant
+    # shares near 90/5/5 (content hash, not exact)
+    n = len(a)
+    from collections import Counter
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / n < 0.95
+    assert 0.02 < c["val"] / n < 0.08
+    assert 0.02 < c["test"] / n < 0.08
+    # corpus growth never relabels existing docs
+    grown = {r["doc_id"]: r["split"] for r in
+             split_assign(spark.range(0, 2000).withColumnRenamed("id", "doc_id")).collect()}
+    assert all(grown[k] == v for k, v in a.items())
+    # a different salt draws an independent partition
+    salted = {r["doc_id"]: r["split"] for r in
+              split_assign(docs, salt="v2").collect()}
+    assert salted != a
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from entitymatch_spark.plans.curate import split_assign
+
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        split_assign(docs, splits={"train": 9000, "val": 400})
