@@ -981,6 +981,45 @@ def q_split_assign(spark, sf):
     )
 
 
+def q_repetition_signals(spark, sf):
+    """Gopher/RefinedWeb repetition quality signals
+    (operators/textstats.py repetition_signals): top-token, top-bigram,
+    and duplicate-bigram occupancy per doc — the crawl-spam /
+    boilerplate filters a curation pass runs beside quality_score."""
+    from entitymatch_spark.operators.textstats import repetition_signals
+
+    out = repetition_signals(_docs(spark, sf), tokens_col="tokens")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+        "n_bigrams",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+    )
+
+
+def q_redact_pii(spark, sf):
+    """PII scrub (operators/pii.py): emails / IPv4 / phone-shaped
+    numbers masked with typed placeholders + per-category audit counts.
+    The corpus carries no PII, so the query plants deterministic
+    doc_id-derived contact strings (same construction in the oracle)
+    and redacts them — the masking itself is what is value-checked."""
+    from entitymatch_spark.operators.pii import redact_pii
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-0100 at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(d)
+
+
 def q_winnowing_fingerprints(spark, sf):
     from entitymatch_spark.operators.textstats import winnowing_fingerprints
 
@@ -1328,6 +1367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_report": q_decontam_report,
         # NEW round 3: deterministic train/val/test hash assignment
         "split_assign": q_split_assign,
+        # NEW round 3: repetition quality signals + PII scrub
+        "repetition_signals": q_repetition_signals,
+        "redact_pii": q_redact_pii,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -1401,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from entitymatch_spark.operators.blocking import minhash_coeffs
+    from entitymatch_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
 
     syn_values = ", ".join(f"('{a}', '{b}', {w})" for a, b, w in SYNONYMS)
     mh_coeffs = minhash_coeffs(num_hashes=16, seed=42)
@@ -2048,6 +2091,65 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN hv < 9500 THEN 'val'
                                 ELSE 'test' END AS split
             FROM h
+        """,
+        # repetition signals: per-doc-per-gram counts -> per-doc agg,
+        # bigrams via the same shingle construction as decontam/dedup
+        "repetition_signals": f"""
+            WITH d AS (SELECT doc_id, {TOKS} AS tk FROM documents
+                       WHERE len({TOKS}) > 0),
+            toc AS (SELECT doc_id, unnest(tk) AS g FROM d),
+            tpc AS (SELECT doc_id, g, count(*) AS c FROM toc GROUP BY 1, 2),
+            ta AS (SELECT doc_id, sum(c) AS n, max(c) AS top,
+                          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                   FROM tpc GROUP BY 1),
+            bgo AS (SELECT doc_id,
+                           unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                                  ELSE list_transform(
+                                      generate_series(1, len(tk) - 1),
+                                      i -> tk[i] || ' ' || tk[i+1]) END) AS g
+                    FROM d),
+            bpc AS (SELECT doc_id, g, count(*) AS c FROM bgo GROUP BY 1, 2),
+            ba AS (SELECT doc_id, sum(c) AS n, max(c) AS top,
+                          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                   FROM bpc GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(ta.n, 0) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN coalesce(ta.n, 0) = 0 THEN 0.0
+                              ELSE ta.top / ta.n END, 6) AS top_token_frac,
+                   CAST(coalesce(ba.n, 0) AS BIGINT) AS n_bigrams,
+                   round(CASE WHEN coalesce(ba.n, 0) = 0 THEN 0.0
+                              ELSE ba.top / ba.n END, 6) AS top_bigram_frac,
+                   round(CASE WHEN coalesce(ba.n, 0) = 0 THEN 0.0
+                              ELSE ba.dup / ba.n END, 6) AS dup_bigram_frac
+            FROM d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
+        """,
+        # PII scrub: planted doc_id-derived contact strings, staged
+        # email -> ip -> phone redaction (counts taken on the stage
+        # each rule sees), global-flag regexp_replace
+        "redact_pii": f"""
+            WITH d AS (SELECT doc_id,
+                              substr(text, 1, 80) || ' contact user'
+                              || CAST(doc_id AS VARCHAR)
+                              || '@example.com or +1 555-0100 at 10.0.'
+                              || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t0
+                       FROM documents),
+            s1 AS (SELECT doc_id,
+                          len(regexp_extract_all(t0, '{EMAIL_RE}')) AS n_email,
+                          regexp_replace(t0, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+                   FROM d),
+            s2 AS (SELECT doc_id, n_email,
+                          len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ip,
+                          regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ip,
+                          len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phone,
+                          regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS t3
+                   FROM s2)
+            SELECT doc_id, t3 AS redacted,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ip AS BIGINT) AS n_ip,
+                   CAST(n_phone AS BIGINT) AS n_phone
+            FROM s3
         """,
         # SimHash, portable variant: md5 bit source, signed tf sums per
         # bit, 4x16-bit band blocking, hamming verify — the whole

@@ -170,3 +170,56 @@ def winnowing_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-doc repetition quality signals (the Gopher/RefinedWeb family
+    of filters: heavily self-repeating pages are low-value training
+    text and a classic crawl-spam shape):
+
+    - ``top_token_frac``  — occurrences of the most frequent token over
+      all token occurrences;
+    - ``top_bigram_frac`` — same for word bigrams;
+    - ``dup_bigram_frac`` — fraction of bigram OCCURRENCES whose bigram
+      appears more than once in the doc.
+
+    Relational shape (explode -> per-doc-per-gram count -> per-doc
+    agg): both groupBys are map-side-combinable and key on the doc id,
+    so the second agg is a narrow regroup of the first — no UDF, no
+    per-row Python, scales with the corpus.
+    """
+    from entitymatch_spark.operators.decontam import ngram_expr
+
+    def fam(col_expr, prefix):
+        occ = docs.select(F.col(id_col), F.explode(col_expr).alias("g"))
+        per = occ.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        return per.groupBy(id_col).agg(
+            F.sum("c").alias(f"{prefix}_n"),
+            F.max("c").alias(f"{prefix}_top"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                f"{prefix}_dup"
+            ),
+        )
+
+    tok = fam(F.col(tokens_col), "tok")
+    big = fam(ngram_expr(tokens_col, 2), "big")
+    base = docs.filter(F.size(tokens_col) > 0).select(id_col)
+    frac = lambda num, den: F.when(  # noqa: E731
+        F.coalesce(den, F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(num / den)
+    return (
+        base.join(tok, id_col, "left")
+        .join(big, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("tok_n", F.lit(0).cast("long")).alias("n_tokens"),
+            frac(F.col("tok_top"), F.col("tok_n")).alias("top_token_frac"),
+            F.coalesce("big_n", F.lit(0).cast("long")).alias("n_bigrams"),
+            frac(F.col("big_top"), F.col("big_n")).alias("top_bigram_frac"),
+            frac(F.col("big_dup"), F.col("big_n")).alias("dup_bigram_frac"),
+        )
+    )

@@ -1,0 +1,67 @@
+"""PII redaction (operators/pii.py) and repetition signals
+(operators/textstats.py repetition_signals)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entitymatch_spark.operators.pii import redact_pii
+from entitymatch_spark.operators.textstats import repetition_signals
+
+
+def test_redact_pii_masks_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp-site.co.uk and cindy@a.io now"),
+            (1, "server at 192.168.0.1 fell over"),
+            (2, "call +1 555-0100 or 020 7946 0958 today"),
+            (3, "clean text with a short 123 number"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[0]["n_email"] == 2 and out[0]["redacted"].count("<EMAIL>") == 2
+    assert "@" not in out[0]["redacted"]
+    assert out[1]["n_ip"] == 1 and "<IP>" in out[1]["redacted"]
+    assert out[2]["n_phone"] == 2 and out[2]["redacted"].count("<PHONE>") == 2
+    assert out[3]["redacted"] == docs.filter("doc_id = 3").first()["text"]
+    assert out[3]["n_email"] == out[3]["n_ip"] == out[3]["n_phone"] == 0
+
+
+def test_redact_pii_ip_before_phone(spark):
+    # dotted octets are 7+ digits with separators; the IP rule must
+    # claim them before the phone rule can
+    docs = spark.createDataFrame(
+        [(0, "node 10.20.30.40 responded")], "doc_id long, text string"
+    )
+    r = redact_pii(docs).first()
+    assert r["n_ip"] == 1 and r["n_phone"] == 0
+    assert "<IP>" in r["redacted"] and "<PHONE>" not in r["redacted"]
+
+
+def test_repetition_signals_extremes(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, ["spam"] * 10),                      # maximal repetition
+            (1, ["a", "b", "c", "d", "e"]),          # all distinct
+            (2, ["solo"]),                           # no bigrams
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert out[0]["top_token_frac"] == 1.0
+    assert out[0]["dup_bigram_frac"] == 1.0 and out[0]["n_bigrams"] == 9
+    assert abs(out[1]["top_token_frac"] - 0.2) < 1e-12
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[2]["n_bigrams"] == 0 and out[2]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_signals_no_python(spark):
+    docs = spark.createDataFrame(
+        [(0, ["a", "b", "a"])], "doc_id long, tokens array<string>"
+    )
+    plan = (
+        repetition_signals(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
