@@ -1020,6 +1020,45 @@ def q_redact_pii(spark, sf):
     return redact_pii(d)
 
 
+def q_domain_stats(spark, sf):
+    """Domain-level curation rollup (the whole-domain filter stage of a
+    web pipeline: drop or downweight sources whose aggregate quality /
+    language mix is bad, before touching individual docs). Composes
+    quality_score + lang_id per doc, then aggregates per source.
+
+    Cross-engine float discipline: per-doc quality is scaled to an
+    integer (round(q*10000)) BEFORE summing — integer sums are
+    order-independent, so the Spark partial-agg order and DuckDB's
+    order produce identical means; each reported ratio is ONE final
+    division of identical operands."""
+    from entitymatch_spark.functions.text import tokenize
+    from entitymatch_spark.operators.textstats import lang_id, quality_score
+
+    docs = _fan(spark, _t(spark, sf, "documents")).select(
+        "doc_id", "source", tokenize("text").alias("tokens")
+    )
+    q = quality_score(docs)
+    l = lang_id(docs)
+    j = (
+        q.select("doc_id", "n_tokens", "quality")
+        .join(l.select("doc_id", "pred_lang"), "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    n = F.count("*")
+    return j.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.round(F.col("quality") * 10000).cast("long"))
+            / (10000.0 * n),
+            6,
+        ).alias("mean_quality"),
+        F.round(
+            F.sum(F.when(F.col("pred_lang") == "en", 1).otherwise(0)) / n, 6
+        ).alias("en_share"),
+    )
+
+
 def q_winnowing_fingerprints(spark, sf):
     from entitymatch_spark.operators.textstats import winnowing_fingerprints
 
@@ -1370,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 3: repetition quality signals + PII scrub
         "repetition_signals": q_repetition_signals,
         "redact_pii": q_redact_pii,
+        # NEW round 3: per-source curation rollup (domain filtering)
+        "domain_stats": q_domain_stats,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -2150,6 +2191,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_ip AS BIGINT) AS n_ip,
                    CAST(n_phone AS BIGINT) AS n_phone
             FROM s3
+        """,
+        # per-source rollup: quality_score + lang_id composed per doc,
+        # integer-scaled quality sums (order-independent), one final
+        # division per ratio
+        "domain_stats": f"""
+            WITH d AS (SELECT doc_id, source, {TOKS} AS tk FROM documents),
+            m AS (SELECT doc_id, source, tk, len(tk) AS n_tokens,
+                         len(list_distinct(tk)) AS n_uniq,
+                         len(list_filter(tk, t -> list_contains([{stops_list}], t))) AS stop_occ,
+                         list_aggregate(list_transform(tk, t -> length(t)), 'sum') AS tot_len
+                  FROM d WHERE len(tk) > 0),
+            pq AS (SELECT doc_id, source, n_tokens,
+                          0.4 * (n_uniq / n_tokens) + 0.3 * (1.0 - stop_occ / n_tokens)
+                          + 0.3 * least(tot_len / n_tokens / 8.0, 1.0) AS quality,
+                          list_distinct(tk) AS ts
+                   FROM m),
+            pl AS (SELECT doc_id,
+                          len(list_intersect(ts, [{stops_list}])) AS en_hits,
+                          len(list_intersect(ts, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS de_hits,
+                          len(list_intersect(ts, ['le','la','les','et','est','un','une','des','que','pour'])) AS fr_hits
+                   FROM pq),
+            pp AS (SELECT q.doc_id, q.source, q.n_tokens, q.quality,
+                          CASE WHEN greatest(l.en_hits, l.de_hits, l.fr_hits) = 0 THEN 'und'
+                               WHEN l.en_hits = greatest(l.en_hits, l.de_hits, l.fr_hits) THEN 'en'
+                               WHEN l.de_hits = greatest(l.en_hits, l.de_hits, l.fr_hits) THEN 'de'
+                               ELSE 'fr' END AS pred_lang
+                   FROM pq q JOIN pl l USING (doc_id))
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(sum(CAST(round(quality * 10000) AS BIGINT))
+                         / (10000.0 * count(*)), 6) AS mean_quality,
+                   round(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)
+                         / count(*), 6) AS en_share
+            FROM pp GROUP BY source
         """,
         # SimHash, portable variant: md5 bit source, signed tf sums per
         # bit, 4x16-bit band blocking, hamming verify — the whole
