@@ -1059,6 +1059,33 @@ def q_domain_stats(spark, sf):
     )
 
 
+def q_latest_snapshot(spark, sf):
+    """Crawl-ingest head (operators/urlnorm.py): canonicalize URLs
+    (fragment, host case, default port, tracking params, param order)
+    and keep the freshest crawl per canonical URL. The corpus carries
+    no url/ts columns, so the query plants deterministic doc_id-derived
+    ones (same construction in the oracle): messy-cased host, :443
+    port, utm param, unsorted params, fragment — every rule fires."""
+    from entitymatch_spark.operators.urlnorm import latest_snapshot
+
+    pages = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.com:443/Page/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("?utm_source=feed&b=2&a="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+        ((F.col("doc_id") * 37) % 101).alias("warc_ts"),
+    )
+    return latest_snapshot(pages, tiebreak_col="doc_id").select(
+        "canonical_url", "doc_id", "warc_ts"
+    )
+
+
 def q_winnowing_fingerprints(spark, sf):
     from entitymatch_spark.operators.textstats import winnowing_fingerprints
 
@@ -1411,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         # NEW round 3: per-source curation rollup (domain filtering)
         "domain_stats": q_domain_stats,
+        # NEW round 3: URL canonicalization + latest-crawl-wins
+        "latest_snapshot": q_latest_snapshot,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -2225,6 +2254,57 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)
                          / count(*), 6) AS en_share
             FROM pp GROUP BY source
+        """,
+        # URL canonicalization (same split/lower/filter/sort chain as
+        # canonical_url) + freshest-crawl row per canonical key
+        "latest_snapshot": """
+            WITH p AS (SELECT doc_id,
+                              'HTTPS://WWW.' || source || '.Example.com:443/Page/'
+                              || CAST(doc_id % 97 AS VARCHAR)
+                              || '?utm_source=feed&b=2&a='
+                              || CAST(doc_id % 5 AS VARCHAR) || '#frag' AS url,
+                              (doc_id * 37) % 101 AS warc_ts
+                       FROM documents),
+            parts AS (SELECT doc_id, warc_ts,
+                             split_part(url, '#', 1) AS no_frag
+                      FROM p),
+            seg AS (SELECT doc_id, warc_ts,
+                           lower(split_part(no_frag, '://', 1)) AS scheme,
+                           CASE WHEN strpos(no_frag, '://') > 0
+                                THEN substr(no_frag, strpos(no_frag, '://') + 3)
+                                ELSE no_frag END AS after
+                    FROM parts),
+            hp AS (SELECT doc_id, warc_ts, scheme, after,
+                          regexp_replace(
+                              lower(split_part(split_part(after, '/', 1), '?', 1)),
+                              ':(80|443)$', '') AS host,
+                          CASE WHEN strpos(after, '/') > 0
+                               THEN substr(after, strpos(after, '/'))
+                               ELSE '' END AS path_q
+                   FROM seg),
+            pq AS (SELECT doc_id, warc_ts, scheme, host,
+                          split_part(path_q, '?', 1) AS path,
+                          CASE WHEN strpos(path_q, '?') > 0
+                               THEN substr(path_q, strpos(path_q, '?') + 1)
+                               ELSE '' END AS query
+                   FROM hp),
+            canon AS (SELECT doc_id, warc_ts,
+                             scheme || '://' || host || path ||
+                             CASE WHEN array_to_string(
+                                      list_sort(list_filter(str_split(query, '&'),
+                                          x -> x != '' AND NOT regexp_matches(x,
+                                              '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))),
+                                      '&') = '' THEN ''
+                                  ELSE '?' || array_to_string(
+                                      list_sort(list_filter(str_split(query, '&'),
+                                          x -> x != '' AND NOT regexp_matches(x,
+                                              '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))),
+                                      '&') END AS canonical_url
+                      FROM pq)
+            SELECT canonical_url, doc_id, CAST(warc_ts AS BIGINT) AS warc_ts
+            FROM canon
+            QUALIFY row_number() OVER (PARTITION BY canonical_url
+                                       ORDER BY warc_ts DESC, doc_id DESC) = 1
         """,
         # SimHash, portable variant: md5 bit source, signed tf sums per
         # bit, 4x16-bit band blocking, hamming verify — the whole

@@ -1,0 +1,90 @@
+"""URL canonicalization + latest-crawl-wins snapshot selection.
+
+The first stage of a crawl ingest over (url, warc_ts, ...) pages: the
+same page arrives under trivially different URLs (tracking params,
+fragments, host case, default ports) and under many crawl timestamps;
+downstream stages want ONE row per canonical URL — the freshest.
+
+Canonicalization is a pure JVM expression chain (lowercase scheme +
+host, drop the fragment, drop default :80/:443 ports, drop tracking
+params, sort surviving query params so param order never splits a
+page); snapshot selection is a rank-limited window per canonical URL —
+Spark plans WindowGroupLimit, so no global sort and the only shuffle
+is the hash partition on the canonical key. Both are deterministic in
+content only: reruns and different cluster sizes pick the same rows.
+
+ref: the reference keys entities by opaque ids (EntityMatch has no URL
+handling); this is the task-brief web-ingest extension for the
+north-star input shape (url, warc_ts, html, text, lang).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# query params that never identify content (analytics / click ids)
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of a URL column: drop the #fragment, lowercase
+    scheme and host, drop default :80/:443 ports, remove tracking
+    params, sort the surviving query params (param order never splits
+    a page). The path keeps its case (path case is significant on most
+    servers; host case is not). Pure column expressions — narrow,
+    streaming-valid, no UDF."""
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.substring_index(u, "#", 1)
+    scheme = F.lower(F.substring_index(no_frag, "://", 1))
+    after = F.substring_index(no_frag, "://", -1)
+    hostport = F.lower(
+        F.substring_index(F.substring_index(after, "/", 1), "?", 1)
+    )
+    host = F.regexp_replace(hostport, ":(80|443)$", "")
+    slash = F.instr(after, "/")
+    path_q = F.when(
+        slash > 0, F.substring(after, slash, F.length(after))
+    ).otherwise(F.lit(""))
+    path = F.substring_index(path_q, "?", 1)
+    query = F.when(
+        path_q.contains("?"), F.substring_index(path_q, "?", -1)
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    canon_query = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            canon_query != "", F.concat(F.lit("?"), canon_query)
+        ).otherwise(F.lit("")),
+    )
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One row per canonical URL — the freshest crawl (max ``ts_col``;
+    ties broken by ``tiebreak_col`` descending when given, so the
+    winner is deterministic even for same-second recrawls). Adds the
+    ``canonical_url`` column; keeps every input column."""
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy("canonical_url").orderBy(*order)
+    return (
+        pages.withColumn("canonical_url", canonical_url(url_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

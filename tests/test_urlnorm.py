@@ -1,0 +1,66 @@
+"""URL canonicalization + latest-snapshot selection
+(operators/urlnorm.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entitymatch_spark.operators.urlnorm import canonical_url, latest_snapshot
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+
+
+def test_canonical_url_rules(spark):
+    got = _canon(spark, [
+        "HTTPS://WWW.Site.COM:443/Path/Page?b=2&utm_source=x&a=1#frag",
+        "https://www.site.com/Path/Page?a=1&b=2",
+        "http://host:80/p",
+        "http://host/p?fbclid=abc",
+        "https://bare.example",
+    ])
+    # rules collapse the first two to the same canonical form
+    assert got[0] == got[1] == "https://www.site.com/Path/Page?a=1&b=2"
+    assert got[2] == "http://host/p"
+    assert got[3] == "http://host/p"            # tracking-only query drops
+    assert got[4] == "https://bare.example"
+    # path case preserved, host case folded
+    assert "/Path/Page" in got[0] and "www.site.com" in got[0]
+
+
+def test_canonical_url_keeps_real_ports_and_params(spark):
+    got = _canon(spark, [
+        "https://h:8080/x?id=7",
+        "https://h/x?ref=tw&id=7",
+    ])
+    assert got[0] == "https://h:8080/x?id=7"    # non-default port kept
+    assert got[1] == "https://h/x?id=7"         # ref= dropped, id= kept
+
+
+def test_latest_snapshot_picks_freshest(spark):
+    pages = spark.createDataFrame(
+        [
+            (0, "https://a/x?utm_source=1", 10),
+            (1, "https://A/x", 20),              # same canonical, fresher
+            (2, "https://A/x#f", 20),            # tie on ts -> higher id wins
+            (3, "https://b/y", 5),
+        ],
+        "doc_id long, url string, warc_ts long",
+    )
+    out = {r["canonical_url"]: r["doc_id"]
+           for r in latest_snapshot(pages, tiebreak_col="doc_id").collect()}
+    assert out == {"https://a/x": 2, "https://b/y": 3}
+
+
+def test_latest_snapshot_plan(spark):
+    pages = spark.createDataFrame(
+        [(0, "https://a/x", 1)], "doc_id long, url string, warc_ts long"
+    )
+    plan = (
+        latest_snapshot(pages)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan           # rank-limited, no global sort
+    assert "EvalPython" not in plan
