@@ -1402,10 +1402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remove_docs, upsert_pages, blocking_stats, cluster_stats),
         # then every query that got NO CORRECTNESS row in round 2
         # (past the r2 cap) or changed this round, then r2-green rows.
-        # The ~21 entries past the cap (from dedup_ngram_jaccard down)
-        # are simple relational queries green in BOTH r1 and r2 —
-        # safest to go one round without re-verification (rotate them
-        # back into the top 50 in round 4).
+        # The 26 entries past the cap (from dedup_exact down) are
+        # simple relational queries green in BOTH r1 and r2 — safest
+        # to go one round without re-verification (rotate them back
+        # into the top 50 in round 4).
         "match_clusters_token": q_match_clusters_token,
         "match_clusters_lsh": q_match_clusters_lsh,
         "match_clusters": q_match_clusters,
@@ -1475,16 +1475,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_pattern_any": q_multi_pattern_any,
         "asof_events": q_asof_events,
         "cube_events": q_cube_events,
+        # core pipeline ops kept inside the cap ahead of the simple
+        # relational rows below (a round without a row on score_pairs
+        # would be a worse gap than one on asof/cube/histogram)
+        "score_pairs": q_score_pairs,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "candidate_pairs": q_candidate_pairs,
+        "extend_spans": q_extend_spans,
+        "topk_spans": q_topk_spans,
+        "dedup_exact": q_dedup_exact,
         "histogram_threshold": q_histogram_threshold,
         "spelling_alternatives": q_spelling_alternatives,
         "synonym_expand": q_synonym_expand,
-        "candidate_pairs": q_candidate_pairs,
         "candidate_pairs_alt": q_candidate_pairs_alt,
-        "extend_spans": q_extend_spans,
-        "topk_spans": q_topk_spans,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "score_pairs": q_score_pairs,
-        "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_embedding": q_dedup_embedding,
