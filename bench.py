@@ -14,20 +14,20 @@ Two subprocess legs (one JVM per master):
    4N leg would need 16 threads and measure SMT oversubscription
    instead of engine scaling. Both legs run inside ONE local[4]
    session with parallelism bounded by the partition count of the
-   cached pair table; legs alternate order per round, and the
-   efficiency is computed PER ROUND (both legs seconds apart in the
-   same weather window) with the MEDIAN round as the headline (best
-   round reported alongside; the max alone can over-read when the N
-   leg catches a contention spike). Rationale:
-   the box is SHARED — separate per-leg JVMs minutes apart fold
-   time-varying neighbor load into the ratio (observed swing
-   2.2x-3.1x on identical code), and mixing per-leg bests across
-   rounds under-reads because the 4N leg is ~4x more exposed to
-   contention. Reported: per-leg pairs-scored/sec (BEST leg across
-   rounds — a throughput ceiling, deliberately a different estimator
-   from the ratio) + efficiency (t_N/t_4N)/4 with the MEDIAN round as
-   the headline (`efficiency`) and the best round alongside
-   (`efficiency_best_round`).
+   cached pair table; legs alternate order per round, each leg runs
+   min-of-SPARK_GRAFT_SCALE_PASSES (default 2) passes per round, and
+   the HEADLINE efficiency is the ratio of per-leg FLOORS — each
+   leg's min across every pass of every round, i.e. its clean-machine
+   time, the quantity a dedicated cluster would show. Rationale: the
+   box is SHARED, and per-round median ratios carry a bias whose SIGN
+   flips with pass count (single-pass medians under-read: spikes land
+   on the ~3.5x-longer N leg more often; multi-pass medians over-read:
+   the short 4N leg reaches its floor first — measured 0.789-0.833 vs
+   0.929 on the same code/box/day, floor ratio 0.876 in between,
+   matching the box's 0.887 pure-python capacity curve). Reported:
+   per-leg pairs-scored/sec at the floors + `efficiency` (floor
+   ratio, headline) + `efficiency_median_round` and
+   `efficiency_best_round` for transparency.
 3. Full run at local[$SPARK_GRAFT_CPUS] (default 32): end-to-end
    pipeline on the sf-sized corpus + headline operator queries from
    __spark_entry__ on $SPARK_GRAFT_SF_DIR testdata.
@@ -68,6 +68,7 @@ SCALE_CLUSTERS = int(os.environ.get("SPARK_GRAFT_SCALE_CLUSTERS", "1000"))
 # 0.837 minutes earlier on identical code), and the median needs a
 # majority of clean rounds to ignore them.
 SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "9"))
+SCALE_PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
 # best-of-N for the once-per-pipeline block/cluster stages (the score
 # stage already repeats): 2 passes halve the exposure to shared-box
 # weather at ~10s extra untimed wall
@@ -246,31 +247,56 @@ def _scale_legs(spark, n_clusters: int) -> dict:
         order = (SCALE_N, SCALE_4N) if r % 2 == 0 else (SCALE_4N, SCALE_N)
         took = {}
         for p in order:
-            t0 = time.perf_counter()
-            score_pairs(legs[p], docs, idf_map, weights=cfg.weights).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            took[p] = time.perf_counter() - t0
+            # Per-leg min-of-SCALE_PASSES within the round's weather
+            # window: neighbor contention only ever INFLATES a leg, so
+            # the min is the least-contended estimate of that leg in
+            # that window, and taking it for BOTH legs symmetrically
+            # does not bias the ratio (unlike best-leg-across-rounds,
+            # which mixes weather windows — see below). Observed
+            # effect: single-pass medians on the same code/box swung
+            # 0.789-0.833 across runs (spike rounds land on one leg at
+            # random); two passes halve a leg's exposure per round.
+            t_leg = float("inf")
+            for _ in range(max(1, SCALE_PASSES)):
+                t0 = time.perf_counter()
+                score_pairs(
+                    legs[p], docs, idf_map, weights=cfg.weights
+                ).write.format("noop").mode("overwrite").save()
+                t_leg = min(t_leg, time.perf_counter() - t0)
+            took[p] = t_leg
             best[p] = min(best[p], took[p])
         rounds.append((took[SCALE_N], took[SCALE_4N]))
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch_prior)
     for df in (docs, *legs.values()):
         df.unpersist()
-    # Efficiency is a RATIO, so it must be computed within one weather
-    # window: a round's two legs run back-to-back seconds apart, and
-    # common-mode neighbor load cancels. Taking best-of-per-leg ACROSS
-    # rounds mixes windows (the 4N leg, holding 4x the threads, is far
-    # more exposed to contention, so its best and N's best rarely come
-    # from the same window and the mixed ratio under-reads: observed
-    # 0.718 per-leg-best vs 0.73-1.01 per-round on one run). The
-    # MEDIAN round is the headline: the max round can over-read when
-    # the N leg alone catches a contention spike (observed 1.012 —
-    # superlinear readings are estimator inflation, not physics).
+    # Two estimator families, both reported; the FLOOR ratio is the
+    # headline (see the comment at eff_floor below for the measured
+    # evidence). Per-round ratios pair legs within one weather window
+    # (common-mode load cancels); their median's residual bias flips
+    # sign with pass count, which is why they are secondary now.
     # SCALE_REPEATS is odd so len//2 is the true middle element; with a
     # user-forced even count this is the upper median (documented bias).
     per_round_eff = sorted(tn / t4 / 4.0 for tn, t4 in rounds)
     eff_median = per_round_eff[len(per_round_eff) // 2]
     eff_best = per_round_eff[-1]
+    # HEADLINE = ratio of per-leg FLOORS (min across every pass of
+    # every round). The floor is each leg's clean-machine time — the
+    # quantity a dedicated N- or 4N-executor cluster would show — and
+    # with SCALE_REPEATS*SCALE_PASSES samples per leg both floors
+    # converge, so the estimator is stable run-to-run. Why not the
+    # per-round median ratio: its bias FLIPS with pass count on a
+    # shared box. Measured, same code/box/day: single-pass medians
+    # read 0.789-0.833 (a contention spike lands on one leg of a
+    # round at random, and the long leg is exposed ~3.5x longer, so
+    # spikes deflate more rounds than they inflate); min-of-2 medians
+    # read 0.929 with a nonphysical 1.118 best round (the short leg
+    # reaches its floor in fewer passes than the long leg, so rounds
+    # where the long leg stayed dirty over-read). The floor ratio on
+    # the same data reads 0.876 — bracketed by both and matching the
+    # box's own capacity curve (0.887 pure-python multiprocessing of
+    # the same scorer workload, BASELINE.md r2 note), which neither
+    # median matches. Both medians stay reported for transparency.
+    eff_floor = best[SCALE_N] / best[SCALE_4N] / 4.0
     return {
         "n_docs": n_docs,
         "n_pairs": n_pairs,
@@ -280,8 +306,9 @@ def _scale_legs(spark, n_clusters: int) -> dict:
         f"pairs_per_sec_p{SCALE_4N}": round(n_pairs / best[SCALE_4N], 1),
         "rounds_sec": [(round(a, 3), round(b, 3)) for a, b in rounds],
         "efficiency_best_round": round(eff_best, 3),
-        "speedup": round(4.0 * eff_median, 3),
-        "efficiency": round(eff_median, 3),
+        "efficiency_median_round": round(eff_median, 3),
+        "speedup": round(4.0 * eff_floor, 3),
+        "efficiency": round(eff_floor, 3),
     }
 
 
@@ -576,9 +603,12 @@ def main() -> None:
         "scaling": {
             "method": (
                 f"one local[{SCALE_4N}] session; task parallelism bounded by "
-                f"partition count ({SCALE_N} vs {SCALE_4N}); interleaved "
-                f"median-of-{SCALE_REPEATS} rounds; session-default Arrow "
-                f"batches both legs (same job config at both levels)"
+                f"partition count ({SCALE_N} vs {SCALE_4N}); "
+                f"{SCALE_REPEATS} interleaved rounds x min-of-{SCALE_PASSES} "
+                f"passes per leg; headline = per-leg floor ratio "
+                f"(clean-machine times; round medians reported alongside); "
+                f"session-default Arrow batches both legs "
+                f"(same job config at both levels)"
             ),
             "n_cpus": SCALE_N,
             "4n_cpus": SCALE_4N,
@@ -590,6 +620,7 @@ def main() -> None:
             f"score_sec_p{SCALE_4N}": scale[f"score_sec_p{SCALE_4N}"],
             "rounds_sec": scale["rounds_sec"],
             "efficiency_best_round": scale["efficiency_best_round"],
+            "efficiency_median_round": scale["efficiency_median_round"],
             "speedup": scale["speedup"],
             "efficiency": scale["efficiency"],
         },
