@@ -1086,6 +1086,25 @@ def q_latest_snapshot(spark, sf):
     )
 
 
+def q_decontam_fuzzy(spark, sf):
+    """Fuzzy decontamination (operators/decontam.py
+    fuzzy_contamination_report): corpus docs near-duplicating any
+    benchmark doc via cross-set MinHash-LSH (portable md5/concat
+    variant) + exact jaccard >= 0.5 verify — catches paraphrased eval
+    leakage that exact n-gram overlap misses. Benchmark side broadcast;
+    corpus rows never shuffle on the band key."""
+    from entitymatch_spark.operators.decontam import (
+        fuzzy_contamination_report,
+    )
+
+    d = _docs(spark, sf)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return fuzzy_contamination_report(
+        corpus, bench, token_hash="md5", band_hash="concat"
+    )
+
+
 def q_winnowing_fingerprints(spark, sf):
     from entitymatch_spark.operators.textstats import winnowing_fingerprints
 
@@ -1440,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         # NEW round 3: URL canonicalization + latest-crawl-wins
         "latest_snapshot": q_latest_snapshot,
+        # NEW round 3: cross-set MinHash decontamination (paraphrase)
+        "decontam_fuzzy": q_decontam_fuzzy,
         # red in r2 (shape fix this round) — must re-verify:
         "embed_hash": q_embed_hash,
         # no r2 row (past the r2 cap) — rotate into the verified set:
@@ -2308,6 +2329,31 @@ def oracle_sql() -> dict[str, str]:
             FROM canon
             QUALIFY row_number() OVER (PARTITION BY canonical_url
                                        ORDER BY warc_ts DESC, doc_id DESC) = 1
+        """,
+        # fuzzy decontamination: one signature table over the corpus,
+        # band keys split by the benchmark rule, cross-set key join,
+        # exact jaccard verify, per-corpus-doc benchmark-match count
+        "decontam_fuzzy": f"""
+            WITH toks AS (SELECT doc_id, list_distinct({TOKS}) AS ts
+                          FROM documents WHERE len({TOKS}) > 0),
+            tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hv
+                  FROM tok),
+            sig AS (SELECT doc_id, {mh_sig_cols} FROM h GROUP BY doc_id),
+            keys AS ({mh_band_selects}),
+            ck AS (SELECT doc_id, key FROM keys WHERE doc_id % 50 != 0),
+            bk AS (SELECT doc_id AS bench_id, key FROM keys WHERE doc_id % 50 = 0),
+            cand AS (SELECT DISTINCT c.doc_id, b.bench_id
+                     FROM ck c JOIN bk b USING (key)),
+            ver AS (SELECT c.doc_id, c.bench_id
+                    FROM cand c JOIN toks tc ON tc.doc_id = c.doc_id
+                    JOIN toks tb ON tb.doc_id = c.bench_id
+                    WHERE 2 * len(list_intersect(tc.ts, tb.ts))
+                          >= len(tc.ts) + len(tb.ts)
+                             - len(list_intersect(tc.ts, tb.ts)))
+            SELECT doc_id, count(*) AS n_bench_matches
+            FROM ver GROUP BY doc_id
         """,
         # SimHash, portable variant: md5 bit source, signed tf sums per
         # bit, 4x16-bit band blocking, hamming verify — the whole

@@ -87,3 +87,76 @@ def decontaminate(
         corpus, benchmark, n, min_hits, id_col, tokens_col, broadcast_benchmark
     )
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def fuzzy_contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    jaccard_threshold: tuple[int, int] = (1, 2),
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    token_hash: str = "xxhash64",
+    band_hash: str = "xxhash64",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, n_bench_matches): corpus docs NEAR-duplicating any benchmark
+    doc — the paraphrased-leakage case exact n-gram overlap misses
+    (an eval question lightly reworded survives contamination_report
+    but still leaks).
+
+    Cross-set MinHash-LSH: both sides get band keys, but the join is
+    corpus-keys x benchmark-keys ONLY (never the corpus self-join the
+    dedup family pays) and the benchmark side is BROADCAST — eval sets
+    are tiny next to the corpus, so corpus rows never shuffle on the
+    band key; the only wide op is the final per-doc count. Candidates
+    are verified with exact token-set jaccard in the integer
+    cross-multiplied form (``den*|A∩B| >= num*|A∪B|``).
+
+    ``jaccard_threshold`` is (num, den); defaults to 1/2. Tune bands /
+    rows_per_band for the recall the threshold needs (4x4 bands catch
+    jaccard ~0.5+ pairs with high probability at 16 hashes).
+    """
+    from entitymatch_spark.operators.blocking import (
+        lsh_band_keys,
+        minhash_signature,
+    )
+
+    def keys(df):
+        return lsh_band_keys(
+            minhash_signature(
+                df,
+                id_col=id_col,
+                tokens_col=tokens_col,
+                num_hashes=num_hashes,
+                seed=seed,
+                token_hash=token_hash,
+            ),
+            bands=bands,
+            rows_per_band=rows_per_band,
+            id_col=id_col,
+            band_hash=band_hash,
+        )
+
+    ck = keys(corpus)
+    bk = keys(benchmark).withColumnRenamed(id_col, "bench_id")
+    cand = (
+        ck.join(F.broadcast(bk), "key")
+        .select(id_col, "bench_id")
+        .distinct()
+    )
+    ts = F.array_distinct(tokens_col)
+    cts = corpus.select(F.col(id_col), ts.alias("ts_c"))
+    bts = benchmark.select(F.col(id_col).alias("bench_id"), ts.alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_c", "ts_b"))
+    union = F.size("ts_c") + F.size("ts_b") - inter
+    num, den = jaccard_threshold
+    return (
+        cand.join(cts, id_col)
+        .join(F.broadcast(bts), "bench_id")
+        .filter(den * inter >= num * union)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bench_matches"))
+    )

@@ -54,3 +54,46 @@ def test_probe_is_broadcast_no_python(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_fuzzy_contamination_cross_set_only(spark):
+    from entitymatch_spark.operators.decontam import fuzzy_contamination_report
+
+    base = "federated learning converges faster when gradients compress sparsely worldwide".split()
+    bench = spark.createDataFrame(
+        [(100, base)], "doc_id long, tokens array<string>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, base),                               # exact copy -> flagged
+            (1, base[:-1] + ["tonight"]),            # near dup -> flagged
+            (2, "entirely different prose about parquet shuffles and salting".split()),
+            (3, base),                               # corpus-internal dup of 0:
+        ],                                           # both flagged vs bench,
+        "doc_id long, tokens array<string>",         # never paired together
+    )
+    out = {r["doc_id"]: r["n_bench_matches"] for r in
+           fuzzy_contamination_report(corpus, bench).collect()}
+    assert out == {0: 1, 1: 1, 3: 1}
+
+
+def test_fuzzy_plan_broadcasts_benchmark(spark):
+    from entitymatch_spark.operators.decontam import fuzzy_contamination_report
+
+    toks = [f"t{i}" for i in range(12)]
+    corpus = spark.createDataFrame(
+        [(i, toks) for i in range(20)], "doc_id long, tokens array<string>"
+    )
+    bench = spark.createDataFrame(
+        [(100, toks)], "doc_id long, tokens array<string>"
+    )
+    plan = (
+        fuzzy_contamination_report(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both benchmark-side joins (band keys, token sets) must broadcast;
+    # the corpus-side candidate hydration join MAY sort-merge — both of
+    # its sides are corpus-scale pre-AQE, and that shuffle is the
+    # honest cost (AQE converts it when the candidate set is small)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan
