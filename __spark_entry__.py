@@ -915,22 +915,15 @@ def q_dedup_survivors(spark, sf):
     )
     from entitymatch_spark.operators.dedup import dedup_survivors
 
+    from entitymatch_spark.operators.dedup import verify_token_jaccard
+
     d = _docs(spark, sf).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     sigs = minhash_signature(d, num_hashes=16, token_hash="md5")
     keys = lsh_band_keys(sigs, bands=4, rows_per_band=4, band_hash="concat")
     cand = candidate_pairs(keys, max_block=32)
-    ts = d.select("doc_id", F.array_distinct("tokens").alias("ts"))
-    a = ts.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
-    b = ts.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
-    inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    union = F.size("ts_a") + F.size("ts_b") - inter
-    ver = (
-        cand.join(a, "id_a").join(b, "id_b")
-        .filter(2 * inter >= union)
-        .select("id_a", "id_b")
-    )
+    ver = verify_token_jaccard(cand, d).select("id_a", "id_b")
     return dedup_survivors(
         _t(spark, sf, "documents").select("doc_id"), ver
     ).select("doc_id", "n_members")
@@ -1012,7 +1005,7 @@ def q_redact_pii(spark, sf):
             F.substring("text", 1, 80),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
-            F.lit("@example.com or +1 555-0100 at 10.0."),
+            F.lit("@example.com or +44 20 7946 0958 at 10.0."),
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".7"),
         ).alias("text"),
@@ -1032,17 +1025,22 @@ def q_domain_stats(spark, sf):
     order produce identical means; each reported ratio is ONE final
     division of identical operands."""
     from entitymatch_spark.functions.text import tokenize
-    from entitymatch_spark.operators.textstats import lang_id, quality_score
+    from entitymatch_spark.operators.textstats import (
+        pred_lang_expr,
+        quality_expr,
+    )
 
     docs = _fan(spark, _t(spark, sf, "documents")).select(
         "doc_id", "source", tokenize("text").alias("tokens")
     )
-    q = quality_score(docs)
-    l = lang_id(docs)
-    j = (
-        q.select("doc_id", "n_tokens", "quality")
-        .join(l.select("doc_id", "pred_lang"), "doc_id")
-        .join(docs.select("doc_id", "source"), "doc_id")
+    # one narrow per-row projection — quality and language are pure
+    # column expressions over the same tokens, so the ONLY shuffle in
+    # this query is the source groupBy (no doc_id joins)
+    j = docs.filter(F.size("tokens") > 0).select(
+        "source",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        quality_expr("tokens").alias("quality"),
+        pred_lang_expr("tokens").alias("pred_lang"),
     )
     n = F.count("*")
     return j.groupBy("source").agg(
@@ -2224,7 +2222,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (SELECT doc_id,
                               substr(text, 1, 80) || ' contact user'
                               || CAST(doc_id AS VARCHAR)
-                              || '@example.com or +1 555-0100 at 10.0.'
+                              || '@example.com or +44 20 7946 0958 at 10.0.'
                               || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t0
                        FROM documents),
             s1 AS (SELECT doc_id,
@@ -2299,10 +2297,19 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE no_frag END AS after
                     FROM parts),
             hp AS (SELECT doc_id, warc_ts, scheme, after,
-                          regexp_replace(
-                              lower(split_part(split_part(after, '/', 1), '?', 1)),
-                              ':(80|443)$', '') AS host,
-                          CASE WHEN strpos(after, '/') > 0
+                          CASE WHEN scheme = 'http' THEN regexp_replace(
+                                   lower(split_part(split_part(after, '/', 1), '?', 1)),
+                                   ':80$', '')
+                               WHEN scheme = 'https' THEN regexp_replace(
+                                   lower(split_part(split_part(after, '/', 1), '?', 1)),
+                                   ':443$', '')
+                               ELSE lower(split_part(split_part(after, '/', 1), '?', 1))
+                          END AS host,
+                          CASE WHEN strpos(after, '?') > 0
+                                    AND (strpos(after, '/') = 0
+                                         OR strpos(after, '?') < strpos(after, '/'))
+                               THEN '?' || substr(after, strpos(after, '?') + 1)
+                               WHEN strpos(after, '/') > 0
                                THEN substr(after, strpos(after, '/'))
                                ELSE '' END AS path_q
                    FROM seg),

@@ -92,3 +92,20 @@ def tokenize_with_offsets(col: Column | str) -> Column:
         )
     c = F.col(col) if isinstance(col, str) else col
     return _tokenize_offsets_udf(c)
+
+
+def ngram_expr(tokens_col: str, n: int) -> Column:
+    """array<string> of space-joined word n-grams over a token-array
+    column (empty when the doc has fewer than n tokens). THE shingle
+    construction — the dedup family (ngram_jaccard_pairs), winnowing
+    fingerprints, decontamination, and repetition signals all build
+    their grams here, so "what is an n-gram" cannot drift between the
+    operators that must agree on it."""
+    return F.when(
+        F.size(tokens_col) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, size({tokens_col}) - {n}), i -> "
+            + f"concat_ws(' ', {', '.join(f'{tokens_col}[i+{j}]' for j in range(n))}))"
+        )
+    )

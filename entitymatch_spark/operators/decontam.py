@@ -24,19 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ngram_expr(tokens_col: str, n: int):
-    """array<string> of space-joined word n-grams (empty when the doc
-    has fewer than n tokens) — same construction as the dedup family's
-    shingles, shared so dedup and decontamination agree on what an
-    n-gram is."""
-    return F.when(
-        F.size(tokens_col) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.expr(
-            f"transform(sequence(0, size({tokens_col}) - {n}), i -> "
-            + f"concat_ws(' ', {', '.join(f'{tokens_col}[i+{j}]' for j in range(n))}))"
-        )
-    )
+# the shingle construction lives with the text expressions; re-exported
+# here because decontamination call sites read naturally from this module
+from entitymatch_spark.functions.text import ngram_expr  # noqa: E402,F401
 
 
 def contamination_report(
@@ -140,6 +130,8 @@ def fuzzy_contamination_report(
             band_hash=band_hash,
         )
 
+    from entitymatch_spark.operators.dedup import verify_token_jaccard
+
     ck = keys(corpus)
     bk = keys(benchmark).withColumnRenamed(id_col, "bench_id")
     cand = (
@@ -147,16 +139,18 @@ def fuzzy_contamination_report(
         .select(id_col, "bench_id")
         .distinct()
     )
-    ts = F.array_distinct(tokens_col)
-    cts = corpus.select(F.col(id_col), ts.alias("ts_c"))
-    bts = benchmark.select(F.col(id_col).alias("bench_id"), ts.alias("ts_b"))
-    inter = F.size(F.array_intersect("ts_c", "ts_b"))
-    union = F.size("ts_c") + F.size("ts_b") - inter
-    num, den = jaccard_threshold
     return (
-        cand.join(cts, id_col)
-        .join(F.broadcast(bts), "bench_id")
-        .filter(den * inter >= num * union)
+        verify_token_jaccard(
+            cand,
+            corpus,
+            benchmark,
+            threshold=jaccard_threshold,
+            id_col=id_col,
+            tokens_col=tokens_col,
+            left_col=id_col,
+            right_col="bench_id",
+            broadcast_right=True,
+        )
         .groupBy(id_col)
         .agg(F.count("*").alias("n_bench_matches"))
     )

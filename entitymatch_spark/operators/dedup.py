@@ -300,15 +300,11 @@ def ngram_jaccard_pairs(
     tokens_col: str = "tokens",
 ) -> DataFrame:
     """pairs + word-n-gram-set jaccard (verification primitive)."""
-    grams = F.when(
-        F.size(tokens_col) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.expr(
-            f"transform(sequence(0, size({tokens_col}) - {n}), i -> "
-            + f"concat_ws(' ', {', '.join(f'{tokens_col}[i+{j}]' for j in range(n))}))"
-        )
+    from entitymatch_spark.functions.text import ngram_expr
+
+    sets_ = docs.select(
+        F.col(id_col), F.array_distinct(ngram_expr(tokens_col, n)).alias("gset")
     )
-    sets_ = docs.select(F.col(id_col), F.array_distinct(grams).alias("gset"))
     a = sets_.select(F.col(id_col).alias("id_a"), F.col("gset").alias("sa"))
     b = sets_.select(F.col(id_col).alias("id_b"), F.col("gset").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -361,4 +357,43 @@ def dedup_survivors(
             sizes.withColumnRenamed("component", id_col), id_col, "left"
         )
         .withColumn("n_members", F.coalesce("n_members", F.lit(1).cast("long")))
+    )
+
+
+def verify_token_jaccard(
+    pairs: DataFrame,
+    docs_a: DataFrame,
+    docs_b: DataFrame | None = None,
+    threshold: tuple[int, int] = (1, 2),
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Keep candidate pairs whose EXACT token-set jaccard clears
+    ``threshold`` = (num, den): ``den*|A∩B| >= num*|A∪B|`` — integer
+    cross-multiplication, so any SQL oracle agrees on the boundary
+    without float division. THE verification step — curation dedup,
+    keep-set dedup, and cross-set decontamination all verify here so
+    the threshold semantics cannot drift between them.
+
+    ``docs_b`` defaults to ``docs_a`` (self-join dedup);
+    ``broadcast_right`` for the cross-set case where the right side is
+    tiny (an eval benchmark). Original pair columns pass through."""
+    num, den = threshold
+    ts = F.array_distinct(tokens_col)
+    a = docs_a.select(F.col(id_col).alias(left_col), ts.alias("_ts_a"))
+    b = (docs_b if docs_b is not None else docs_a).select(
+        F.col(id_col).alias(right_col), ts.alias("_ts_b")
+    )
+    if broadcast_right:
+        b = F.broadcast(b)
+    inter = F.size(F.array_intersect("_ts_a", "_ts_b"))
+    union = F.size("_ts_a") + F.size("_ts_b") - inter
+    return (
+        pairs.join(a, left_col)
+        .join(b, right_col)
+        .filter(den * inter >= num * union)
+        .drop("_ts_a", "_ts_b")
     )

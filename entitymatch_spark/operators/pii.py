@@ -20,10 +20,15 @@ from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-# 7+ digits with optional single spaces/dashes between them, optional
+# 9+ digits with optional single spaces/dashes between them, optional
 # leading +; anchored on word boundaries to avoid eating digit runs
-# inside longer tokens
-PHONE_RE = r"\+?\b\d(?:[ -]?\d){6,}\b"
+# inside longer tokens. The 9-digit floor keeps ISO dates (8 digits:
+# 2026-08-18) and year ranges (2020-2021) out of the mask — real
+# phone numbers carry 9+ digits with country/area codes. Precision
+# over recall: a training-corpus scrub that rewrites every date to
+# <PHONE> does more damage than missing a 7-digit local number; swap
+# in an NER pass if higher recall is required.
+PHONE_RE = r"\+?\b\d(?:[ -]?\d){8,}\b"
 
 _RULES = [
     ("email", EMAIL_RE, "<EMAIL>"),

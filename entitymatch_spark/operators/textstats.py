@@ -19,6 +19,25 @@ def _hits(tokens_col: str, words: list[str]):
     return F.size(F.array_intersect(F.array_distinct(tokens_col), arr))
 
 
+def pred_lang_expr(tokens_col: str = "tokens"):
+    """Predicted-language column (stopword vote, deterministic tie
+    order en>de>fr, 'und' on no hits) — shared by lang_id and any
+    per-row composition that wants the label without a join (e.g. the
+    per-source rollup)."""
+    en, de, fr = (
+        _hits(tokens_col, EN_STOPWORDS),
+        _hits(tokens_col, DE_STOPWORDS),
+        _hits(tokens_col, FR_STOPWORDS),
+    )
+    best = F.greatest(en, de, fr)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
 def lang_id(
     docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
 ) -> DataFrame:
@@ -30,13 +49,7 @@ def lang_id(
         _hits(tokens_col, DE_STOPWORDS),
         _hits(tokens_col, FR_STOPWORDS),
     )
-    best = F.greatest(en, de, fr)
-    pred = (
-        F.when(best == 0, F.lit("und"))
-        .when(en == best, F.lit("en"))
-        .when(de == best, F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
+    pred = pred_lang_expr(tokens_col)
     return docs.select(
         F.col(id_col),
         en.cast("long").alias("en_hits"),
@@ -44,6 +57,36 @@ def lang_id(
         fr.cast("long").alias("fr_hits"),
         pred.alias("pred_lang"),
     )
+
+
+def _quality_parts(tokens_col: str, stopwords: list[str] | None = None):
+    """(n_tok, uniq_ratio, stop_ratio, mean_len, quality) column
+    expressions — the ONE definition of the quality formula, shared by
+    quality_score and quality_expr so compositions cannot drift."""
+    stopwords = stopwords or EN_STOPWORDS
+    sw = ",".join(f"'{s}'" for s in stopwords)
+    n_tok = F.size(tokens_col)
+    n_uniq = F.size(F.array_distinct(tokens_col))
+    stop_occ = F.size(
+        F.expr(f"filter({tokens_col}, t -> array_contains(array({sw}), t))")
+    )
+    mean_len = (
+        F.expr(f"aggregate({tokens_col}, 0D, (acc, t) -> acc + length(t))")
+        / n_tok
+    )
+    uniq_ratio = n_uniq / n_tok
+    stop_ratio = stop_occ / n_tok
+    quality = (
+        0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(mean_len / 8.0, F.lit(1.0))
+    )
+    return n_tok, uniq_ratio, stop_ratio, mean_len, quality
+
+
+def quality_expr(tokens_col: str = "tokens", stopwords: list[str] | None = None):
+    """The blended quality column alone — for per-row compositions
+    that want the score without quality_score's projection or a join."""
+    return _quality_parts(tokens_col, stopwords)[4]
 
 
 def quality_score(
@@ -57,17 +100,8 @@ def quality_score(
     quality = 0.4*uniq_ratio + 0.3*(1 - stop_ratio)
               + 0.3*min(mean_tok_len / 8, 1)
     """
-    stopwords = stopwords or EN_STOPWORDS
-    sw = ",".join(f"'{s}'" for s in stopwords)
-    n_tok = F.size(tokens_col)
-    n_uniq = F.size(F.array_distinct(tokens_col))
-    stop_occ = F.size(F.expr(f"filter({tokens_col}, t -> array_contains(array({sw}), t))"))
-    mean_len = F.expr(f"aggregate({tokens_col}, 0D, (acc, t) -> acc + length(t))") / n_tok
-    uniq_ratio = n_uniq / n_tok
-    stop_ratio = stop_occ / n_tok
-    quality = (
-        0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
-        + 0.3 * F.least(mean_len / 8.0, F.lit(1.0))
+    n_tok, uniq_ratio, stop_ratio, mean_len, quality = _quality_parts(
+        tokens_col, stopwords
     )
     return docs.filter(n_tok > 0).select(
         F.col(id_col),
@@ -143,14 +177,9 @@ def winnowing_fingerprints(
     documents yields a shared fingerprint. All JVM-side: k-grams via
     transform/sequence, rolling min via a bounded window frame.
     """
-    grams = F.when(
-        F.size(tokens_col) < k, F.array().cast("array<string>")
-    ).otherwise(
-        F.expr(
-            f"transform(sequence(0, size({tokens_col}) - {k}), i -> "
-            + f"concat_ws(' ', {', '.join(f'{tokens_col}[i+{j}]' for j in range(k))}))"
-        )
-    )
+    from entitymatch_spark.functions.text import ngram_expr
+
+    grams = ngram_expr(tokens_col, k)
     # gram hash = first 60 bits of md5, portable across engines (DuckDB
     # reproduces it exactly, so the contract query is value-checked;
     # xxhash64 would be ~2x faster at scale but is Spark-only — swap is
@@ -192,7 +221,7 @@ def repetition_signals(
     so the second agg is a narrow regroup of the first — no UDF, no
     per-row Python, scales with the corpus.
     """
-    from entitymatch_spark.operators.decontam import ngram_expr
+    from entitymatch_spark.functions.text import ngram_expr
 
     def fam(col_expr, prefix):
         occ = docs.select(F.col(id_col), F.explode(col_expr).alias("g"))

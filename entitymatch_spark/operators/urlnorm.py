@@ -41,14 +41,31 @@ def canonical_url(url) -> Column:
     hostport = F.lower(
         F.substring_index(F.substring_index(after, "/", 1), "?", 1)
     )
-    host = F.regexp_replace(hostport, ":(80|443)$", "")
+    # default-port stripping is SCHEME-AWARE: http://h:443 is a
+    # different resource from https://h and must not merge with it
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    # the authority ends at the FIRST '/' OR '?' — a query can appear
+    # with no path (https://h?id=5), and a '/' inside a query value
+    # must not be promoted into the path
     slash = F.instr(after, "/")
+    qmark = F.instr(after, "?")
+    q_first = (qmark > 0) & ((slash == 0) | (qmark < slash))
     path_q = F.when(
+        q_first, F.concat(F.lit("?"), F.substring(after, qmark + 1, F.length(after)))
+    ).when(
         slash > 0, F.substring(after, slash, F.length(after))
     ).otherwise(F.lit(""))
     path = F.substring_index(path_q, "?", 1)
+    # split at the FIRST '?' — '?' is RFC-legal unencoded inside a
+    # query, so the query is everything after the first one
+    pq_qmark = F.instr(path_q, "?")
     query = F.when(
-        path_q.contains("?"), F.substring_index(path_q, "?", -1)
+        pq_qmark > 0,
+        F.substring(path_q, pq_qmark + 1, F.length(path_q)),
     ).otherwise(F.lit(""))
     kept = F.array_sort(
         F.filter(

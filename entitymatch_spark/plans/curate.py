@@ -87,7 +87,10 @@ def curate(
         lsh_band_keys,
         minhash_signature,
     )
-    from entitymatch_spark.operators.dedup import dedup_survivors
+    from entitymatch_spark.operators.dedup import (
+        dedup_survivors,
+        verify_token_jaccard,
+    )
     from entitymatch_spark.operators.textstats import quality_score
 
     toks = docs.select(F.col(id_col), tokenize(text_col).alias("tokens"))
@@ -112,20 +115,9 @@ def curate(
     )
     cand = candidate_pairs(keys, max_block=cfg.max_block)
 
-    ts = pool.select(
-        F.col(id_col), F.array_distinct("tokens").alias("ts")
-    )
-    a = ts.select(F.col(id_col).alias("id_a"), F.col("ts").alias("ts_a"))
-    b = ts.select(F.col(id_col).alias("id_b"), F.col("ts").alias("ts_b"))
-    inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    union = F.size("ts_a") + F.size("ts_b") - inter
-    num, den = cfg.jaccard_threshold
-    ver = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(den * inter >= num * union)
-        .select("id_a", "id_b")
-    )
+    ver = verify_token_jaccard(
+        cand, pool, threshold=cfg.jaccard_threshold, id_col=id_col
+    ).select("id_a", "id_b")
 
     out = dedup_survivors(
         stats.select(id_col, "n_tokens", "quality"), ver, id_col=id_col

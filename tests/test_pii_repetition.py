@@ -14,8 +14,9 @@ def test_redact_pii_masks_and_counts(spark):
         [
             (0, "mail bob.smith+x@corp-site.co.uk and cindy@a.io now"),
             (1, "server at 192.168.0.1 fell over"),
-            (2, "call +1 555-0100 or 020 7946 0958 today"),
+            (2, "call +1 555-010-0199 or 020 7946 0958 today"),
             (3, "clean text with a short 123 number"),
+            (4, "released 2026-08-18 covering 2020-2021 fiscal years"),
         ],
         "doc_id long, text string",
     )
@@ -26,6 +27,8 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[2]["n_phone"] == 2 and out[2]["redacted"].count("<PHONE>") == 2
     assert out[3]["redacted"] == docs.filter("doc_id = 3").first()["text"]
     assert out[3]["n_email"] == out[3]["n_ip"] == out[3]["n_phone"] == 0
+    # ISO dates and year ranges stay below the 9-digit phone floor
+    assert out[4]["n_phone"] == 0 and "<PHONE>" not in out[4]["redacted"]
 
 
 def test_redact_pii_ip_before_phone(spark):

@@ -34,9 +34,30 @@ def test_canonical_url_keeps_real_ports_and_params(spark):
     got = _canon(spark, [
         "https://h:8080/x?id=7",
         "https://h/x?ref=tw&id=7",
+        "http://h:443/p",
+        "https://h:80/p",
     ])
     assert got[0] == "https://h:8080/x?id=7"    # non-default port kept
     assert got[1] == "https://h/x?id=7"         # ref= dropped, id= kept
+    # port stripping is scheme-aware: 443 is NOT default for http,
+    # 80 is NOT default for https — both must survive
+    assert got[2] == "http://h:443/p"
+    assert got[3] == "https://h:80/p"
+
+
+def test_canonical_url_query_edge_shapes(spark):
+    got = _canon(spark, [
+        "https://h?id=5",                 # query with no path
+        "https://h?id=6",
+        "https://h?next=/home",           # '/' inside a query value
+        "https://h/p?a=1?b=2",            # '?' inside the query (RFC-legal)
+    ])
+    # distinct querys stay distinct even without a path
+    assert got[0] == "https://h?id=5" and got[1] == "https://h?id=6"
+    # the query-value '/' is not promoted into the path
+    assert got[2] == "https://h?next=/home"
+    # split at the FIRST '?': the whole 'a=1?b=2' is one query string
+    assert got[3] == "https://h/p?a=1?b=2"
 
 
 def test_latest_snapshot_picks_freshest(spark):
