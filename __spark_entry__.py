@@ -1413,55 +1413,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     qs = {
         # ORDERING CONTRACT: the driver verifies the FIRST ~50 entries
-        # per round. Round-3 rotation policy (VERDICT r2 ask): flagship
-        # pipeline first (always verified), then the NEW round-3
-        # queries (incremental_match, rethreshold_clusters,
-        # remove_docs, upsert_pages, blocking_stats, cluster_stats),
-        # then every query that got NO CORRECTNESS row in round 2
-        # (past the r2 cap) or changed this round, then r2-green rows.
-        # The 26 entries past the cap (from dedup_exact down) are
-        # simple relational queries green in BOTH r1 and r2 — safest
-        # to go one round without re-verification (rotate them back
-        # into the top 50 in round 4).
+        # per round. Round-4 rotation (VERDICT r3 ask #1): flagship
+        # pipeline first (always verified), then every query whose code
+        # CHANGED this round (quality rational threshold, decontam
+        # defaults, canonical_url guard, PHONE_RE recall), then the 27
+        # queries that got NO CORRECTNESS row in round 3 (they were
+        # double-green r1+r2 and rotated past the r3 cap), then the
+        # most load-bearing r3-green rows up to the cap. The ~27
+        # entries past the cap (from embed_hash down) are all r3
+        # hash-green and UNCHANGED this round — rotate them back into
+        # the top 50 in round 5 so every registry row is re-verified
+        # within two rounds.
+        # ---- flagship (always verified) ----
         "match_clusters_token": q_match_clusters_token,
         "match_clusters_lsh": q_match_clusters_lsh,
         "match_clusters": q_match_clusters,
-        # NEW round 3: batch-incremental growth, oracle = full recompute
         "incremental_match": q_incremental_match,
-        # NEW round 3: recalibration over persisted candidate-pair state
-        # (no rescoring), oracle = full recompute at the new threshold
-        "rethreshold_clusters": q_rethreshold_clusters,
-        # NEW round 3: state deletion (take-down / expired-crawl leg),
-        # oracle = survivor closure at original-corpus purge sizes
-        "remove_docs": q_remove_docs,
-        # NEW round 3: identity re-crawl upsert == full closure
-        "upsert_pages": q_upsert_pages,
-        # NEW round 3: blocking observability over the portable key table
-        "blocking_stats": q_blocking_stats,
-        # NEW round 3: post-run cluster-size histogram observability
-        "cluster_stats": q_cluster_stats,
-        # NEW round 3: dedup keep-set materialization (LSH block ->
-        # exact jaccard verify -> CC -> keep min-id representative)
-        "dedup_survivors": q_dedup_survivors,
-        # NEW round 3: composed curation plan (quality -> dedup ->
-        # deterministic sample) — the one-call training keep-set
+        # ---- CHANGED round 4 (must re-verify) ----
+        # rational quality threshold (no float-boundary dodging)
+        "quality_score": q_quality_score,
         "curate_corpus": q_curate_corpus,
-        # NEW round 3: benchmark decontamination (n-gram overlap audit)
-        "decontam_report": q_decontam_report,
-        # NEW round 3: deterministic train/val/test hash assignment
-        "split_assign": q_split_assign,
-        # NEW round 3: repetition quality signals + PII scrub
-        "repetition_signals": q_repetition_signals,
-        "redact_pii": q_redact_pii,
-        # NEW round 3: per-source curation rollup (domain filtering)
         "domain_stats": q_domain_stats,
-        # NEW round 3: URL canonicalization + latest-crawl-wins
-        "latest_snapshot": q_latest_snapshot,
-        # NEW round 3: cross-set MinHash decontamination (paraphrase)
+        # decontam defaults: 13-gram literature convention; fuzzy
+        # bands=8 x rows=2 for real recall at jaccard ~0.5
+        "decontam_report": q_decontam_report,
         "decontam_fuzzy": q_decontam_fuzzy,
-        # red in r2 (shape fix this round) — must re-verify:
+        # scheme-less URL guard
+        "latest_snapshot": q_latest_snapshot,
+        # PHONE_RE separator-required 7/8-digit recall + date adjacency
+        "redact_pii": q_redact_pii,
+        # ---- no r3 row (rotated past the r3 cap) — rotate back in ----
+        "topk_spans": q_topk_spans,
+        "dedup_exact": q_dedup_exact,
+        "histogram_threshold": q_histogram_threshold,
+        "spelling_alternatives": q_spelling_alternatives,
+        "synonym_expand": q_synonym_expand,
+        "candidate_pairs_alt": q_candidate_pairs_alt,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_embedding": q_dedup_embedding,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multi_pattern_first": q_multi_pattern_first,
+        "multi_pattern_count": q_multi_pattern_count,
+        "scan_documents": q_scan_documents,
+        "scan_dedup": q_scan_dedup,
+        "normalize_text": q_normalize_text,
+        "word_freq": q_word_freq,
+        "histogram_count": q_histogram_count,
+        "histogram_summary": q_histogram_summary,
+        "histogram_topn": q_histogram_topn,
+        "topk_per_group": q_topk_per_group,
+        "set_ops": q_set_ops,
+        "token_rejoin": q_token_rejoin,
+        "char_class_stats": q_char_class_stats,
+        # ---- r3-green core pipeline kept inside the cap (a round
+        # without a row on score_pairs would be a worse gap than one
+        # on media/json/rollup below) ----
+        "score_pairs": q_score_pairs,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "candidate_pairs": q_candidate_pairs,
+        "extend_spans": q_extend_spans,
+        "interpret_matches": q_interpret_matches,
+        "rethreshold_clusters": q_rethreshold_clusters,
+        "remove_docs": q_remove_docs,
+        "upsert_pages": q_upsert_pages,
+        "dedup_survivors": q_dedup_survivors,
+        "blocking_stats": q_blocking_stats,
+        "cluster_stats": q_cluster_stats,
+        "split_assign": q_split_assign,
+        "repetition_signals": q_repetition_signals,
+        # ---- tail (r3 hash-green, unchanged; rotate back in r5) ----
         "embed_hash": q_embed_hash,
-        # no r2 row (past the r2 cap) — rotate into the verified set:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -1473,14 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": q_rollup_events,
         "pivot_events": q_pivot_events,
         "agg_lineitem": q_agg_lineitem,
-        # new or changed this round:
-        # NEW round 3: the reference's flagship Interpretations entry
-        # point end-to-end (tokenize -> alternatives chain -> spans ->
-        # top-k), previously covered by matcher units only
-        "interpret_matches": q_interpret_matches,
         "tokenize_offsets": q_tokenize_offsets,
         "parse_numeric_unit": q_parse_numeric_unit,
-        # r2-green, kept in the verified set:
         "dedup_minhash_oracle": q_dedup_minhash_oracle,
         "dedup_simhash_oracle": q_dedup_simhash_oracle,
         "ann_lsh_oracle": q_ann_lsh_oracle,
@@ -1494,41 +1513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_pattern_any": q_multi_pattern_any,
         "asof_events": q_asof_events,
         "cube_events": q_cube_events,
-        # core pipeline ops kept inside the cap ahead of the simple
-        # relational rows below (a round without a row on score_pairs
-        # would be a worse gap than one on asof/cube/histogram)
-        "score_pairs": q_score_pairs,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "candidate_pairs": q_candidate_pairs,
-        "extend_spans": q_extend_spans,
-        "topk_spans": q_topk_spans,
-        "dedup_exact": q_dedup_exact,
-        "histogram_threshold": q_histogram_threshold,
-        "spelling_alternatives": q_spelling_alternatives,
-        "synonym_expand": q_synonym_expand,
-        "candidate_pairs_alt": q_candidate_pairs_alt,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "dedup_embedding": q_dedup_embedding,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        "token_count_bpe": q_token_count_bpe,
-        "doc_fingerprint": q_doc_fingerprint,
-        "multi_pattern_first": q_multi_pattern_first,
-        "multi_pattern_count": q_multi_pattern_count,
-        # ---- tail (green in BOTH r1 and r2; rotate back next round) ----
-        "scan_documents": q_scan_documents,
-        "scan_dedup": q_scan_dedup,
-        "normalize_text": q_normalize_text,
-        "word_freq": q_word_freq,
-        "histogram_count": q_histogram_count,
-        "histogram_summary": q_histogram_summary,
-        "histogram_topn": q_histogram_topn,
-        "topk_per_group": q_topk_per_group,
-        "set_ops": q_set_ops,
-        "token_rejoin": q_token_rejoin,
-        "char_class_stats": q_char_class_stats,
     }
     return {k: wrap(v) for k, v in qs.items()}
 
