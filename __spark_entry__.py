@@ -930,16 +930,19 @@ def q_dedup_survivors(spark, sf):
 
 
 def q_curate_corpus(spark, sf):
-    """One-call corpus curation (plans/curate.py): quality filter at
-    0.62 -> near-dup dedup over the FILTERED pool (portable md5/concat
-    LSH chain + integer jaccard verify + transitive closure + min-id
-    keep) -> deterministic md5 sampling keeping 70% of survivors.
-    The composed keep-set decision a training run ships, value-checked
-    end-to-end stage by stage in one DuckDB query."""
+    """One-call corpus curation (plans/curate.py): quality gate at the
+    RATIONAL threshold 11/20 = 0.55 (integer cross-multiplication via
+    quality_at_least, so docs sitting exactly on the boundary agree
+    between engines — no float dodging) -> near-dup dedup over the
+    FILTERED pool (portable md5/concat LSH chain + integer jaccard
+    verify + transitive closure + min-id keep) -> deterministic md5
+    sampling keeping 70% of survivors. The composed keep-set decision
+    a training run ships, value-checked end-to-end stage by stage in
+    one DuckDB query."""
     from entitymatch_spark.plans.curate import CurateConfig, curate
 
     cfg = CurateConfig(
-        quality_min=0.62,
+        quality_min=(11, 20),
         sample_keep=7000,
         token_hash="md5",
         band_hash="concat",
@@ -2085,10 +2088,11 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sz ON sz.cluster_id = d.doc_id
             WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
-        # composed curation: quality gate (unrounded doubles, same
-        # integer-sourced expression structure both engines) -> dedup
-        # chain over the FILTERED pool -> min-id keep -> deterministic
-        # md5 sample of survivors
+        # composed curation: quality gate decided by INTEGER
+        # cross-multiplication at the rational threshold 11/20 = 0.55
+        # (same branch structure as textstats.quality_at_least, so the
+        # exact-boundary docs agree) -> dedup chain over the FILTERED
+        # pool -> min-id keep -> deterministic md5 sample of survivors
         "curate_corpus": f"""
             WITH RECURSIVE d0 AS (SELECT doc_id, {TOKS} AS tk FROM documents),
             m AS (SELECT doc_id, tk, len(tk) AS n,
@@ -2100,8 +2104,11 @@ def oracle_sql() -> dict[str, str]:
                          0.4 * (u / n) + 0.3 * (1.0 - s / n)
                          + 0.3 * least(tl / n / 8.0, 1.0) AS quality
                   FROM m
-                  WHERE 0.4 * (u / n) + 0.3 * (1.0 - s / n)
-                        + 0.3 * least(tl / n / 8.0, 1.0) >= 0.62),
+                  WHERE CASE WHEN tl >= 8 * n
+                        THEN 20 * (4 * u + 3 * (n - s) + 3 * n)
+                             >= 10 * 11 * n
+                        ELSE 20 * (32 * u + 24 * (n - s) + 3 * tl)
+                             >= 80 * 11 * n END),
             toks AS (SELECT doc_id, list_distinct(tk) AS ts FROM q),
             tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
             h AS (SELECT doc_id,

@@ -89,6 +89,44 @@ def quality_expr(tokens_col: str = "tokens", stopwords: list[str] | None = None)
     return _quality_parts(tokens_col, stopwords)[4]
 
 
+def quality_at_least(
+    tokens_col: str = "tokens",
+    threshold: tuple[int, int] = (62, 100),
+    stopwords: list[str] | None = None,
+):
+    """Boolean gate ``quality >= qnum/qden`` by INTEGER cross-
+    multiplication — no float division anywhere, so Spark and any SQL
+    oracle agree on the exact boundary (a doc sitting precisely on
+    0.55 or 0.60 passes in both engines or in neither; the same
+    pattern as curate.CurateConfig.jaccard_threshold).
+
+    With n = len(tokens), u = distinct tokens, s = stopword
+    occurrences, tl = total char length, the formula
+    ``0.4*u/n + 0.3*(1 - s/n) + 0.3*min(tl/(8n), 1)`` branches on the
+    mean-length cap (an exact integer compare ``tl >= 8n``):
+
+      capped:   qden * (4u + 3(n-s) + 3n)        >= 10 * qnum * n
+      uncapped: qden * (32u + 24(n-s) + 3tl)     >= 80 * qnum * n
+
+    Empty docs (n = 0) are rejected, matching quality_score's
+    ``n_tok > 0`` precondition.
+    """
+    qnum, qden = threshold
+    stopwords = stopwords or EN_STOPWORDS
+    sw = ",".join(f"'{s}'" for s in stopwords)
+    n = F.size(tokens_col).cast("long")
+    u = F.size(F.array_distinct(tokens_col)).cast("long")
+    s = F.size(
+        F.expr(f"filter({tokens_col}, t -> array_contains(array({sw}), t))")
+    ).cast("long")
+    tl = F.expr(
+        f"aggregate({tokens_col}, 0L, (acc, t) -> acc + length(t))"
+    )
+    capped = qden * (4 * u + 3 * (n - s) + 3 * n) >= 10 * qnum * n
+    uncapped = qden * (32 * u + 24 * (n - s) + 3 * tl) >= 80 * qnum * n
+    return (n > 0) & F.when(tl >= 8 * n, capped).otherwise(uncapped)
+
+
 def quality_score(
     docs: DataFrame,
     id_col: str = "doc_id",

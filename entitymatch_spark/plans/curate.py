@@ -35,17 +35,19 @@ from pyspark.sql import functions as F
 class CurateConfig:
     """Dials for :func:`curate`.
 
-    ``jaccard_threshold`` is a RATIONAL (num, den): a verified pair
-    needs ``den * |A∩B| >= num * (|A|+|B|-|A∩B|)`` — integer
-    cross-multiplication, so Spark and any SQL oracle agree on the
-    boundary without float division.
+    ``quality_min`` and ``jaccard_threshold`` are RATIONALS
+    (num, den), decided by integer cross-multiplication
+    (textstats.quality_at_least / dedup.verify_token_jaccard), so
+    Spark and any SQL oracle agree on the exact boundary without
+    float division — a doc sitting precisely on 0.55 or 0.60 passes
+    in both engines or in neither.
 
     ``sample_keep``/``sample_mod``: keep a survivor iff
     ``md5_int(id) % sample_mod < sample_keep`` (None = keep all).
     Content-deterministic — the same docs survive at any parallelism.
     """
 
-    quality_min: float = 0.62
+    quality_min: tuple[int, int] = (62, 100)
     minhash_hashes: int = 16
     bands: int = 4
     rows_per_band: int = 4
@@ -91,13 +93,16 @@ def curate(
         dedup_survivors,
         verify_token_jaccard,
     )
-    from entitymatch_spark.operators.textstats import quality_score
+    from entitymatch_spark.operators.textstats import (
+        quality_at_least,
+        quality_score,
+    )
 
     toks = docs.select(F.col(id_col), tokenize(text_col).alias("tokens"))
-    stats = quality_score(toks, id_col=id_col).filter(
-        F.col("quality") >= cfg.quality_min
-    )
-    pool = toks.join(stats.select(id_col), id_col)
+    # integer-exact gate FIRST (no join needed: quality_score of the
+    # kept pool yields exactly the filtered stats)
+    pool = toks.filter(quality_at_least("tokens", cfg.quality_min))
+    stats = quality_score(pool, id_col=id_col)
 
     sigs = minhash_signature(
         pool,

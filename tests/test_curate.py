@@ -42,7 +42,7 @@ def test_curate_sampling_deterministic(spark):
             F.lit(" carries distinct entropy payload"),
         ).alias("text"),
     )
-    cfg = CurateConfig(quality_min=0.0, sample_keep=5000)
+    cfg = CurateConfig(quality_min=(0, 1), sample_keep=5000)
     a = {r["doc_id"] for r in curate(pages, cfg).collect()}
     b = {r["doc_id"] for r in curate(pages.repartition(7), cfg).collect()}
     # content-hash sampling: identical keep-set at any partitioning

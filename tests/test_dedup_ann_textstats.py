@@ -17,6 +17,7 @@ from entitymatch_spark.operators.multimodal import extract_media_features
 from entitymatch_spark.operators.textstats import (
     content_fingerprint,
     lang_id,
+    quality_expr,
     quality_score,
     winnowing_fingerprints,
 )
@@ -313,6 +314,49 @@ def test_lang_id_and_quality(spark):
     assert q[4]["stop_ratio"] == 0.0 and q[4]["uniq_ratio"] == 1.0
     assert q[1]["stop_ratio"] > 0.3
     assert all(0 <= r["quality"] <= 1.0001 for r in q.values())
+
+
+def test_quality_at_least_exact_boundary(spark):
+    """The rational gate admits docs sitting EXACTLY on the threshold
+    (0.4*u/n + 0.3*(1-s/n) + 0.3*min(tl/8n,1) compared by integer
+    cross-multiplication — the float sum 0.1+0.3+0.15 need not equal
+    0.55 bit-for-bit, the gate must not care)."""
+    from entitymatch_spark.operators.textstats import quality_at_least
+
+    # 16 tokens, no stopwords, every token 4 chars (tl=64, uncapped):
+    # u=4 -> quality = 0.4*(4/16) + 0.3 + 0.3*(64/128) = 0.55 exactly
+    # u=6 -> 0.4*(6/16) + 0.3 + 0.15                   = 0.60 exactly
+    q55 = ["aaaa", "bbbb", "cccc", "dddd"] * 4
+    q60 = ["aaaa", "bbbb", "cccc", "dddd", "eeee", "ffff"] + ["aaaa"] * 10
+    rows = [(55, q55), (60, q60), (0, [])]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+
+    def kept(threshold):
+        return {
+            r["doc_id"]
+            for r in d.filter(quality_at_least("tokens", threshold)).collect()
+        }
+
+    # exact-boundary docs PASS at their own threshold...
+    assert kept((11, 20)) == {55, 60}
+    assert kept((3, 5)) == {60}
+    # ...and FAIL one ten-thousandth above it; empty docs always fail
+    assert kept((5501, 10000)) == {60}
+    assert kept((6001, 10000)) == set()
+
+    # agreement with the float formula away from boundaries, on real text
+    corpus = corpus_to_spark(spark, generate_corpus(n_clusters=30, seed=5))[
+        "pages"
+    ].select("url", tokenize("text").alias("tokens"))
+    both = corpus.select(
+        "url",
+        quality_at_least("tokens", (62, 100)).alias("gate"),
+        (F.size("tokens") > 0).alias("nonempty"),
+        quality_expr("tokens").alias("q"),
+    ).collect()
+    for r in both:
+        if r["nonempty"] and abs(r["q"] - 0.62) > 1e-9:
+            assert r["gate"] == (r["q"] >= 0.62), r
 
 
 def test_winnowing_shared_run_guarantee(spark):
