@@ -1537,6 +1537,15 @@ def oracle_sql() -> dict[str, str]:
         )
         for b in range(4)
     )
+    # decontam_fuzzy's recall-sized layout: 8 bands x 2 rows over the
+    # same 16 hashes (P ~= 0.90 at jaccard 0.5 vs 0.23 for 4x4)
+    mh_band_selects_8x2 = " UNION ALL ".join(
+        "SELECT doc_id, 'lsh{b}:' || {expr} AS key FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(f"s{2 * b + r}" for r in range(2)),
+        )
+        for b in range(8)
+    )
     stops_list = ", ".join(f"'{s}'" for s in EN_STOPS)
     extend_spans_sql = f"""
             WITH {POS_CTE}, {IDF_CTE},
@@ -2339,7 +2348,7 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hv
                   FROM tok),
             sig AS (SELECT doc_id, {mh_sig_cols} FROM h GROUP BY doc_id),
-            keys AS ({mh_band_selects}),
+            keys AS ({mh_band_selects_8x2}),
             ck AS (SELECT doc_id, key FROM keys WHERE doc_id % 50 != 0),
             bk AS (SELECT doc_id AS bench_id, key FROM keys WHERE doc_id % 50 = 0),
             cand AS (SELECT DISTINCT c.doc_id, b.bench_id

@@ -77,6 +77,55 @@ def test_fuzzy_contamination_cross_set_only(spark):
     assert out == {0: 1, 1: 1, 3: 1}
 
 
+def test_fuzzy_recall_on_planted_paraphrases(spark):
+    """The oracle rows prove Spark==DuckDB; this proves the LSH layout
+    actually CATCHES paraphrased leakage. Plant one paraphrase per
+    benchmark doc at jaccard ~0.5/0.6/0.7 (threshold-level rewording),
+    score ground truth by brute-force integer jaccard, and gate recall
+    at the default 8x2 band layout — expected 1-(1-j^2)^8 = 0.90/0.97/
+    0.995 per tier. Also pin that the old 4x4 layout (P=0.23 at j=0.5)
+    is strictly worse: the ADVICE-flagged silent-miss regression guard."""
+    from entitymatch_spark.operators.decontam import fuzzy_contamination_report
+
+    m = 40  # tokens per benchmark doc
+    bench_rows, corpus_rows, truth = [], [], set()
+    cid = 0
+    for b in range(30):
+        base = [f"w{b}_{i}" for i in range(m)]
+        bench_rows.append((1000 + b, base))
+        # replace k tokens -> jaccard (m-k)/(m+k); k per tier:
+        # 13 -> 0.509, 10 -> 0.600, 7 -> 0.702
+        k = [13, 10, 7][b % 3]
+        para = [f"x{b}_{i}" for i in range(k)] + base[k:]
+        inter, union = m - k, m + k
+        if 2 * inter >= union:  # the verify threshold 1/2, integer form
+            truth.add(cid)
+        corpus_rows.append((cid, para))
+        cid += 1
+        # distractor sharing a handful of tokens (jaccard << 0.5)
+        corpus_rows.append((cid, base[:4] + [f"d{b}_{i}" for i in range(m)]))
+        cid += 1
+    bench = spark.createDataFrame(bench_rows, "doc_id long, tokens array<string>")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, tokens array<string>")
+
+    def flagged(bands, rows_per_band):
+        return {
+            r["doc_id"]
+            for r in fuzzy_contamination_report(
+                corpus, bench, bands=bands, rows_per_band=rows_per_band
+            ).collect()
+        }
+
+    got = flagged(8, 2)
+    assert not (got - truth), "precision: verify step must kill sub-0.5 pairs"
+    recall = len(got & truth) / len(truth)
+    # deterministic at seed 42; measured 1.00 — gate leaves LSH headroom
+    assert recall >= 0.85, f"8x2 recall {recall:.2f} below gate"
+    # the pre-fix 4x4 layout must not silently come back
+    old_recall = len(flagged(4, 4) & truth) / len(truth)
+    assert recall > old_recall, (recall, old_recall)
+
+
 def test_fuzzy_plan_broadcasts_benchmark(spark):
     from entitymatch_spark.operators.decontam import fuzzy_contamination_report
 
