@@ -1066,13 +1066,21 @@ def q_latest_snapshot(spark, sf):
     and keep the freshest crawl per canonical URL. The corpus carries
     no url/ts columns, so the query plants deterministic doc_id-derived
     ones (same construction in the oracle): messy-cased host, :443
-    port, utm param, unsorted params, fragment — every rule fires."""
+    port, utm param, unsorted params, fragment — every rule fires.
+    Every 7th-ish row is scheme-less or protocol-relative (real crawl
+    noise): those must PASS THROUGH canonicalization unchanged."""
     from entitymatch_spark.operators.urlnorm import latest_snapshot
 
+    scheme = (
+        F.when(F.col("doc_id") % 7 == 3, F.lit(""))
+        .when(F.col("doc_id") % 7 == 5, F.lit("//"))
+        .otherwise(F.lit("HTTPS://"))
+    )
     pages = _t(spark, sf, "documents").select(
         "doc_id",
         F.concat(
-            F.lit("HTTPS://WWW."),
+            scheme,
+            F.lit("WWW."),
             F.col("source"),
             F.lit(".Example.com:443/Page/"),
             (F.col("doc_id") % 97).cast("string"),
@@ -2278,25 +2286,29 @@ def oracle_sql() -> dict[str, str]:
             FROM pp GROUP BY source
         """,
         # URL canonicalization (same split/lower/filter/sort chain as
-        # canonical_url) + freshest-crawl row per canonical key
+        # canonical_url) + freshest-crawl row per canonical key;
+        # scheme-less / protocol-relative rows pass through unchanged
         "latest_snapshot": """
             WITH p AS (SELECT doc_id,
-                              'HTTPS://WWW.' || source || '.Example.com:443/Page/'
+                              CASE WHEN doc_id % 7 = 3 THEN ''
+                                   WHEN doc_id % 7 = 5 THEN '//'
+                                   ELSE 'HTTPS://' END
+                              || 'WWW.' || source || '.Example.com:443/Page/'
                               || CAST(doc_id % 97 AS VARCHAR)
                               || '?utm_source=feed&b=2&a='
                               || CAST(doc_id % 5 AS VARCHAR) || '#frag' AS url,
                               (doc_id * 37) % 101 AS warc_ts
                        FROM documents),
-            parts AS (SELECT doc_id, warc_ts,
+            parts AS (SELECT doc_id, warc_ts, url,
                              split_part(url, '#', 1) AS no_frag
                       FROM p),
-            seg AS (SELECT doc_id, warc_ts,
+            seg AS (SELECT doc_id, warc_ts, url,
                            lower(split_part(no_frag, '://', 1)) AS scheme,
                            CASE WHEN strpos(no_frag, '://') > 0
                                 THEN substr(no_frag, strpos(no_frag, '://') + 3)
                                 ELSE no_frag END AS after
                     FROM parts),
-            hp AS (SELECT doc_id, warc_ts, scheme, after,
+            hp AS (SELECT doc_id, warc_ts, url, scheme, after,
                           CASE WHEN scheme = 'http' THEN regexp_replace(
                                    lower(split_part(split_part(after, '/', 1), '?', 1)),
                                    ':80$', '')
@@ -2313,13 +2325,14 @@ def oracle_sql() -> dict[str, str]:
                                THEN substr(after, strpos(after, '/'))
                                ELSE '' END AS path_q
                    FROM seg),
-            pq AS (SELECT doc_id, warc_ts, scheme, host,
+            pq AS (SELECT doc_id, warc_ts, url, scheme, host,
                           split_part(path_q, '?', 1) AS path,
                           CASE WHEN strpos(path_q, '?') > 0
                                THEN substr(path_q, strpos(path_q, '?') + 1)
                                ELSE '' END AS query
                    FROM hp),
             canon AS (SELECT doc_id, warc_ts,
+                             CASE WHEN strpos(url, '://') = 0 THEN url ELSE
                              scheme || '://' || host || path ||
                              CASE WHEN array_to_string(
                                       list_sort(list_filter(str_split(query, '&'),
@@ -2330,7 +2343,8 @@ def oracle_sql() -> dict[str, str]:
                                       list_sort(list_filter(str_split(query, '&'),
                                           x -> x != '' AND NOT regexp_matches(x,
                                               '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))),
-                                      '&') END AS canonical_url
+                                      '&') END
+                             END AS canonical_url
                       FROM pq)
             SELECT canonical_url, doc_id, CAST(warc_ts AS BIGINT) AS warc_ts
             FROM canon

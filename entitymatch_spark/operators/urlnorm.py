@@ -33,7 +33,16 @@ def canonical_url(url) -> Column:
     params, sort the surviving query params (param order never splits
     a page). The path keeps its case (path case is significant on most
     servers; host case is not). Pure column expressions — narrow,
-    streaming-valid, no UDF."""
+    streaming-valid, no UDF.
+
+    Scheme-less and protocol-relative inputs ('example.com/p',
+    '//host/p' — crawl data does contain them) PASS THROUGH unchanged:
+    without '://' the substring_index splits would return the whole
+    string for both scheme and authority and canonicalize garbage
+    ('example.com/p://example.com/p'). Passing through is the honest
+    choice — we never guess a scheme, keys stay distinct and
+    deterministic, and an upstream scheme-resolution stage can still
+    normalize them before this one."""
     u = F.col(url) if isinstance(url, str) else url
     no_frag = F.substring_index(u, "#", 1)
     scheme = F.lower(F.substring_index(no_frag, "://", 1))
@@ -74,7 +83,7 @@ def canonical_url(url) -> Column:
         )
     )
     canon_query = F.array_join(kept, "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -83,6 +92,7 @@ def canonical_url(url) -> Column:
             canon_query != "", F.concat(F.lit("?"), canon_query)
         ).otherwise(F.lit("")),
     )
+    return F.when(F.instr(u, "://") > 0, canon).otherwise(u)
 
 
 def latest_snapshot(

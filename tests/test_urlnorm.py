@@ -60,6 +60,21 @@ def test_canonical_url_query_edge_shapes(spark):
     assert got[3] == "https://h/p?a=1?b=2"
 
 
+def test_canonical_url_schemeless_passes_through(spark):
+    """No '://' -> pass through UNCHANGED (never canonicalize garbage
+    like 'example.com/p://example.com/p'; we don't guess a scheme).
+    Crawl data contains both bare and protocol-relative forms."""
+    urls = [
+        "example.com/Path?b=2&a=1#frag",      # bare scheme-less
+        "//Host.COM/p?utm_source=x",          # protocol-relative
+        "just-a-string",
+        "HTTPS://H/p",                        # control: schemeful still canonicalizes
+    ]
+    got = _canon(spark, urls)
+    assert got[:3] == urls[:3]
+    assert got[3] == "https://h/p"
+
+
 def test_latest_snapshot_picks_freshest(spark):
     pages = spark.createDataFrame(
         [
