@@ -20,15 +20,31 @@ from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-# 9+ digits with optional single spaces/dashes between them, optional
-# leading +; anchored on word boundaries to avoid eating digit runs
-# inside longer tokens. The 9-digit floor keeps ISO dates (8 digits:
-# 2026-08-18) and year ranges (2020-2021) out of the mask — real
-# phone numbers carry 9+ digits with country/area codes. Precision
-# over recall: a training-corpus scrub that rewrites every date to
-# <PHONE> does more damage than missing a 7-digit local number; swap
-# in an NER pass if higher recall is required.
-PHONE_RE = r"\+?\b\d(?:[ -]?\d){8,}\b"
+# Phone-SHAPED forms only, as an ordered alternation (leftmost-first
+# semantics agree between Java and RE2; no lookaround/backrefs, which
+# RE2 lacks). Each alternative requires a structural phone signal —
+# a '+' country prefix, a parenthesized area code, a 3-3-4 / 3-4-4
+# digit grouping, a 9-15 digit contiguous run, or a dash-required
+# 7-digit local — instead of the old "any 9+ digits with free
+# single separators", which jumped across token boundaries and
+# rewrote date+number adjacencies ('2026-08-18 4' -> '<PHONE>'),
+# year-range+count ('2020-2021 19'), and ISBNs to <PHONE>.
+# ISO dates (4-2-2), year ranges (4-4), and ISBN grouping (3-1-3-5-1)
+# match none of these shapes; 3-3-4-grouped number LISTS
+# ('100 200 3000') still mask — that residue is the documented
+# precision floor of a regex-only scrub (swap in an NER pass for
+# more). Order matters within the alternation: at the same start
+# offset the first alternative wins, so wider forms precede the
+# 7-digit local rule ('555-867-5309' must be one 3-3-4 match, not
+# '<PHONE>-5309').
+PHONE_RE = (
+    r"\+\d{1,3}[ -]?\d(?:[ -]?\d){7,12}\b"   # +cc, free single seps
+    r"|\(\d{3}\)[ -]?\d{3}[- ]?\d{4}\b"      # (area) grouped
+    r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"        # 3-3-4 grouped (NANP)
+    r"|\b\d{3}[- ]\d{4}[- ]\d{4}\b"          # 3-4-4 grouped (UK style)
+    r"|\b\d{9,15}\b"                         # bare contiguous MSISDN run
+    r"|\b\d{3}-\d{4}\b"                      # 7-digit local, dash REQUIRED
+)
 
 _RULES = [
     ("email", EMAIL_RE, "<EMAIL>"),

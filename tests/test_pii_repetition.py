@@ -31,6 +31,40 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[4]["n_phone"] == 0 and "<PHONE>" not in out[4]["redacted"]
 
 
+def test_phone_recall_and_date_adjacency(spark):
+    """Separator-anchored forms recover 7/8-digit local recall WITHOUT
+    re-eating dates: the old free-separator rule rewrote a date
+    followed by a standalone number ('2026-08-18 4') and ISBNs to
+    <PHONE>; the grouped forms must mask real local numbers while all
+    date/ISBN shapes stay untouched."""
+    docs = spark.createDataFrame(
+        [
+            # --- must mask ---
+            (0, "call (555) 867-5309 now"),
+            (1, "or 555-867-5309 works"),
+            (2, "dotted 555.867.5309 form"),
+            (3, "local 555-1234 line"),
+            (4, "raw 5551234567 msisdn"),
+            (5, "intl +49 171 123 4567 cell"),
+            # --- must NOT mask ---
+            (10, "on 2026-08-18 4 people came"),
+            (11, "2020-2021 19 items shipped"),
+            (12, "ISBN 978-0-306-40615-7 cited"),
+            (13, "range 08-18 and 12-31 dates"),
+            (14, "space local 555 1234 is ambiguous prose"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    for i in range(6):
+        assert out[i]["n_phone"] == 1 and "<PHONE>" in out[i]["redacted"], (
+            i, out[i]["redacted"])
+    for i in (10, 11, 12, 13, 14):
+        assert out[i]["n_phone"] == 0 and out[i]["redacted"] == (
+            docs.filter(F.col("doc_id") == i).first()["text"]
+        ), (i, out[i]["redacted"])
+
+
 def test_redact_pii_ip_before_phone(spark):
     # dotted octets are 7+ digits with separators; the IP rule must
     # claim them before the phone rule can
