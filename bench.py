@@ -465,7 +465,14 @@ def _incremental_stage(spark, n_clusters: int) -> dict:
         save_state(st0, state_dir)
         st0.docs.unpersist()
         t_incr, n_total = float("inf"), 0
-        for _ in range(max(1, BLOCK_REPEATS)):
+        # min-of-3 here even when BLOCK_REPEATS=2: each timed rep
+        # directly follows the untimed state build (a multi-minute
+        # full pipeline at 3x), so the first rep routinely reads hot;
+        # with only 2 reps one dirty rep leaves a single sample and
+        # the incr_ratio_3x headline wobbled 1.0-1.3 across driver
+        # runs while the quiet-box stress harness (min-of-3, 10x legs)
+        # pinned it flat (SCALING.md / BASELINE.md round-4 tables).
+        for _ in range(max(3, BLOCK_REPEATS)):
             st = load_state(spark, state_dir, cfg)
             t0 = time.perf_counter()
             res = incremental_match(st, batch)
