@@ -102,3 +102,65 @@ def test_repetition_signals_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_phone_regex_java_re2_agree_fuzz(spark):
+    """The redact_pii oracle embeds PHONE_RE verbatim in DuckDB (RE2),
+    so the pattern must behave identically under Java regex and RE2 —
+    same matches, same leftmost-first alternation choice, same
+    replacement output. Fuzz the agreement on adversarial digit
+    soup: dates, year ranges, ISBN-ish groupings, phone shapes, and
+    seeded random digit-group/separator sequences."""
+    import random
+
+    import duckdb
+
+    from entitymatch_spark.operators.pii import PHONE_RE
+
+    rng = random.Random(7)
+    fixed = [
+        "on 2026-08-18 4 people came",
+        "2020-2021 19 items",
+        "ISBN 978-0-306-40615-7 cited",
+        "+49 171 123 4567 and (555) 867-5309",
+        "555.867.5309 or 555-1234 or 5551234567",
+        "version 1.2.3.4.5 build 123456789012345678",
+        "100 200 3000 list",
+    ]
+    seps = [" ", "-", ".", "", "  ", " - "]
+    texts = list(fixed)
+    for _ in range(300):
+        parts = []
+        for _ in range(rng.randrange(1, 6)):
+            parts.append(
+                "".join(rng.choice("0123456789")
+                        for _ in range(rng.randrange(1, 12)))
+            )
+            parts.append(rng.choice(seps))
+        prefix = rng.choice(["", "+", "call ", "(", "x"])
+        texts.append(prefix + "".join(parts) + rng.choice(["", " end", ")"]))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    sql_re = PHONE_RE.replace("\\", "\\\\")  # SQL literal eats one level
+    got = {
+        r["i"]: (r["masked"], r["n"])
+        for r in df.select(
+            "i",
+            F.regexp_replace("t", PHONE_RE, "<PHONE>").alias("masked"),
+            F.size(F.expr(f"regexp_extract_all(t, '{sql_re}', 0)")).alias("n"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table tt (i bigint, t varchar)")
+    con.executemany("insert into tt values (?, ?)", list(enumerate(texts)))
+    want = {
+        i: (m, n)
+        for i, m, n in con.execute(
+            f"""select i, regexp_replace(t, '{PHONE_RE}', '<PHONE>', 'g'),
+                       len(regexp_extract_all(t, '{PHONE_RE}')) from tt"""
+        ).fetchall()
+    }
+    bad = [(i, texts[i], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not bad, bad[:5]

@@ -100,3 +100,37 @@ def test_latest_snapshot_plan(spark):
     )
     assert "WindowGroupLimit" in plan           # rank-limited, no global sort
     assert "EvalPython" not in plan
+
+
+def test_canonical_url_idempotent_fuzz(spark):
+    """canonical_url is a FIXED POINT on its own output: a canonical
+    form re-canonicalizes to itself. This is the property that makes
+    the key safe to store — re-ingesting already-canonical URLs (a
+    common pipeline re-run shape) must never re-key a page. Seeded
+    generator sweeps schemes (http/https/ftp/none/protocol-relative),
+    messy host case, default and real ports, tracking and real params
+    in shuffled order, '/'-and-'?'-bearing query values, fragments."""
+    import random
+
+    rng = random.Random(42)
+    schemes = ["http://", "https://", "HTTPS://", "FTP://", "", "//"]
+    hosts = ["Site.com", "www.EXAMPLE.org", "h", "a.b.c.d"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/Path/Page", "/p", "/a/b/c"]
+    params = [
+        "a=1", "b=2", "id=5/6", "q=x?y", "utm_source=feed", "fbclid=zz",
+        "ref=tw", "z=",
+    ]
+    frags = ["", "#f", "#frag/with?stuff"]
+    urls = []
+    for _ in range(400):
+        ps = rng.sample(params, rng.randrange(0, 5))
+        q = ("?" + "&".join(ps)) if ps else ""
+        urls.append(
+            rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + q + rng.choice(frags)
+        )
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    bad = [(u, a, b) for u, a, b in zip(urls, once, twice) if a != b]
+    assert not bad, bad[:5]
