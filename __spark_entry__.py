@@ -1068,7 +1068,12 @@ def q_latest_snapshot(spark, sf):
     ones (same construction in the oracle): messy-cased host, :443
     port, utm param, unsorted params, fragment — every rule fires.
     Every 7th-ish row is scheme-less or protocol-relative (real crawl
-    noise): those must PASS THROUGH canonicalization unchanged."""
+    noise): those must PASS THROUGH canonicalization unchanged. Every
+    11th row embeds a redirect-style 'u=HTTP://...' query value: on
+    schemed rows the split must still take the FIRST '://' (keying by
+    the embedded target would wrongly merge the redirect page with the
+    target page), and on scheme-less rows the embedded '://' must NOT
+    defeat the pass-through (it is not in scheme position)."""
     from entitymatch_spark.operators.urlnorm import latest_snapshot
 
     scheme = (
@@ -1076,6 +1081,9 @@ def q_latest_snapshot(spark, sf):
         .when(F.col("doc_id") % 7 == 5, F.lit("//"))
         .otherwise(F.lit("HTTPS://"))
     )
+    embed = F.when(
+        F.col("doc_id") % 11 == 0, F.lit("&u=HTTP://Embed.example/X")
+    ).otherwise(F.lit(""))
     pages = _t(spark, sf, "documents").select(
         "doc_id",
         F.concat(
@@ -1086,6 +1094,7 @@ def q_latest_snapshot(spark, sf):
             (F.col("doc_id") % 97).cast("string"),
             F.lit("?utm_source=feed&b=2&a="),
             (F.col("doc_id") % 5).cast("string"),
+            embed,
             F.lit("#frag"),
         ).alias("url"),
         ((F.col("doc_id") * 37) % 101).alias("warc_ts"),
@@ -2296,7 +2305,11 @@ def oracle_sql() -> dict[str, str]:
                               || 'WWW.' || source || '.Example.com:443/Page/'
                               || CAST(doc_id % 97 AS VARCHAR)
                               || '?utm_source=feed&b=2&a='
-                              || CAST(doc_id % 5 AS VARCHAR) || '#frag' AS url,
+                              || CAST(doc_id % 5 AS VARCHAR)
+                              || CASE WHEN doc_id % 11 = 0
+                                      THEN '&u=HTTP://Embed.example/X'
+                                      ELSE '' END
+                              || '#frag' AS url,
                               (doc_id * 37) % 101 AS warc_ts
                        FROM documents),
             parts AS (SELECT doc_id, warc_ts, url,
@@ -2304,11 +2317,18 @@ def oracle_sql() -> dict[str, str]:
                       FROM p),
             seg AS (SELECT doc_id, warc_ts, url,
                            lower(split_part(no_frag, '://', 1)) AS scheme,
+                           -- schemed iff '://' sits in SCHEME POSITION:
+                           -- the prefix before the FIRST '://' is an
+                           -- RFC-3986 scheme (mirrors urlnorm.is_url)
+                           strpos(no_frag, '://') > 0
+                             AND regexp_matches(
+                                   split_part(no_frag, '://', 1),
+                                   '^[A-Za-z][A-Za-z0-9+.-]*$') AS is_url,
                            CASE WHEN strpos(no_frag, '://') > 0
                                 THEN substr(no_frag, strpos(no_frag, '://') + 3)
                                 ELSE no_frag END AS after
                     FROM parts),
-            hp AS (SELECT doc_id, warc_ts, url, scheme, after,
+            hp AS (SELECT doc_id, warc_ts, url, scheme, is_url, after,
                           CASE WHEN scheme = 'http' THEN regexp_replace(
                                    lower(split_part(split_part(after, '/', 1), '?', 1)),
                                    ':80$', '')
@@ -2325,14 +2345,14 @@ def oracle_sql() -> dict[str, str]:
                                THEN substr(after, strpos(after, '/'))
                                ELSE '' END AS path_q
                    FROM seg),
-            pq AS (SELECT doc_id, warc_ts, url, scheme, host,
+            pq AS (SELECT doc_id, warc_ts, url, scheme, is_url, host,
                           split_part(path_q, '?', 1) AS path,
                           CASE WHEN strpos(path_q, '?') > 0
                                THEN substr(path_q, strpos(path_q, '?') + 1)
                                ELSE '' END AS query
                    FROM hp),
             canon AS (SELECT doc_id, warc_ts,
-                             CASE WHEN strpos(url, '://') = 0 THEN url ELSE
+                             CASE WHEN NOT is_url THEN url ELSE
                              scheme || '://' || host || path ||
                              CASE WHEN array_to_string(
                                       list_sort(list_filter(str_split(query, '&'),

@@ -37,16 +37,28 @@ def canonical_url(url) -> Column:
 
     Scheme-less and protocol-relative inputs ('example.com/p',
     '//host/p' — crawl data does contain them) PASS THROUGH unchanged:
-    without '://' the substring_index splits would return the whole
-    string for both scheme and authority and canonicalize garbage
+    without a scheme the splits would return the whole string for both
+    scheme and authority and canonicalize garbage
     ('example.com/p://example.com/p'). Passing through is the honest
     choice — we never guess a scheme, keys stay distinct and
     deterministic, and an upstream scheme-resolution stage can still
-    normalize them before this one."""
+    normalize them before this one.
+
+    "Has a scheme" means '://' in SCHEME POSITION: the prefix before
+    the FIRST '://' must be an RFC-3986 scheme (ALPHA then
+    alphanumerics/'+'/'-'/'.'). A '://' embedded in a query value
+    ('example.com/OUT?u=https://t.com' — redirect-style crawl noise)
+    does NOT make the row schemed, and the authority split always
+    takes everything after the FIRST '://' — splitting at the last
+    one would key 'https://a.com/r?u=https://b.com/X' by the embedded
+    b.com target and wrongly merge it with the real b.com page."""
     u = F.col(url) if isinstance(url, str) else url
     no_frag = F.substring_index(u, "#", 1)
-    scheme = F.lower(F.substring_index(no_frag, "://", 1))
-    after = F.substring_index(no_frag, "://", -1)
+    p = F.instr(no_frag, "://")
+    raw_scheme = F.substring(no_frag, F.lit(1), p - 1)
+    is_url = (p > 0) & raw_scheme.rlike("^[A-Za-z][A-Za-z0-9+.-]*$")
+    scheme = F.lower(raw_scheme)
+    after = F.substring(no_frag, p + 3, F.length(no_frag))
     hostport = F.lower(
         F.substring_index(F.substring_index(after, "/", 1), "?", 1)
     )
@@ -92,7 +104,7 @@ def canonical_url(url) -> Column:
             canon_query != "", F.concat(F.lit("?"), canon_query)
         ).otherwise(F.lit("")),
     )
-    return F.when(F.instr(u, "://") > 0, canon).otherwise(u)
+    return F.when(is_url, canon).otherwise(u)
 
 
 def latest_snapshot(

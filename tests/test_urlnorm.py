@@ -119,7 +119,7 @@ def test_canonical_url_idempotent_fuzz(spark):
     paths = ["", "/", "/Path/Page", "/p", "/a/b/c"]
     params = [
         "a=1", "b=2", "id=5/6", "q=x?y", "utm_source=feed", "fbclid=zz",
-        "ref=tw", "z=",
+        "ref=tw", "z=", "u=https://t.com/X", "next=HTTP://a.b/c?d=1",
     ]
     frags = ["", "#f", "#frag/with?stuff"]
     urls = []
@@ -134,3 +134,24 @@ def test_canonical_url_idempotent_fuzz(spark):
     twice = _canon(spark, once)
     bad = [(u, a, b) for u, a, b in zip(urls, once, twice) if a != b]
     assert not bad, bad[:5]
+
+
+def test_canonical_url_embedded_scheme_in_query(spark):
+    """A '://' inside a query value must not change which URL is being
+    keyed: schemed redirect-style URLs split at the FIRST '://' (keying
+    by the embedded target would merge the redirect page with the real
+    target page), and scheme-less rows with an embedded '://' still
+    pass through (the '://' is not in scheme position)."""
+    got = _canon(spark, [
+        "https://a.com/r?u=https://b.com/X",
+        "https://b.com/X",
+        "Example.com/OUT?u=HTTPS://T.com/Path",
+        "//host/p?u=http://x.y/z",
+        "HTTPS://A.com/r?u=https://b.com/X&utm_source=f",
+    ])
+    assert got[0] == "https://a.com/r?u=https://b.com/X"
+    assert got[1] == "https://b.com/X"
+    assert got[0] != got[1]                       # no redirect/target merge
+    assert got[2] == "Example.com/OUT?u=HTTPS://T.com/Path"   # pass through
+    assert got[3] == "//host/p?u=http://x.y/z"                # pass through
+    assert got[4] == "https://a.com/r?u=https://b.com/X"      # rules still fire
