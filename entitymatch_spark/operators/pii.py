@@ -30,18 +30,21 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 # rewrote date+number adjacencies ('2026-08-18 4' -> '<PHONE>'),
 # year-range+count ('2020-2021 19'), and ISBNs to <PHONE>.
 # ISO dates (4-2-2), year ranges (4-4), and ISBN grouping (3-1-3-5-1)
-# match none of these shapes; 3-3-4-grouped number LISTS
-# ('100 200 3000') still mask — that residue is the documented
-# precision floor of a regex-only scrub (swap in an NER pass for
-# more). Order matters within the alternation: at the same start
-# offset the first alternative wins, so wider forms precede the
-# 7-digit local rule ('555-867-5309' must be one 3-3-4 match, not
-# '<PHONE>-5309').
+# match none of these shapes; grouped number LISTS that exactly mimic
+# a phone grouping ('100 200 3000', '2026 123 4567', '12 34 56 78 90'
+# tables) still mask — that residue is the documented precision floor
+# of a regex-only scrub (swap in an NER pass for more). Order matters
+# within the alternation: at the same start offset the first
+# alternative wins, so wider forms precede the 7-digit local rule
+# ('555-867-5309' must be one 3-3-4 match, not '<PHONE>-5309').
 PHONE_RE = (
-    r"\+\d{1,3}[ -]?\d(?:[ -]?\d){7,12}\b"   # +cc, free single seps
+    r"\+\d{1,3}[ -]?\d(?:[ -]?\d){7,12}\b"            # +cc, free single seps
+    r"|\+\d{1,3}[ -]?\(0\)[ -]?\d(?:[ -]?\d){5,12}\b"  # +cc (0) trunk prefix
     r"|\(\d{3}\)[ -]?\d{3}[- ]?\d{4}\b"      # (area) grouped
-    r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"        # 3-3-4 grouped (NANP)
+    r"|\b\d{3,4}[-. ]\d{3}[-. ]\d{4}\b"      # 3/4-3-4 grouped (NANP, UK geo)
     r"|\b\d{3}[- ]\d{4}[- ]\d{4}\b"          # 3-4-4 grouped (UK style)
+    r"|\b\d{4,5}[ -]\d{6}\b"                 # 4/5-6 grouped (UK mobile)
+    r"|\b\d{2}(?:[ -]\d{2}){4}\b"            # 2-2-2-2-2 pairs (FR style)
     r"|\b\d{9,15}\b"                         # bare contiguous MSISDN run
     r"|\b\d{3}-\d{4}\b"                      # 7-digit local, dash REQUIRED
 )

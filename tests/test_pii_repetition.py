@@ -46,6 +46,10 @@ def test_phone_recall_and_date_adjacency(spark):
             (3, "local 555-1234 line"),
             (4, "raw 5551234567 msisdn"),
             (5, "intl +49 171 123 4567 cell"),
+            (6, "uk mobile 07911 123456 txt"),
+            (7, "uk geo 0171 123 4567 office"),
+            (8, "fr 01 23 45 67 89 bureau"),
+            (9, "trunk +44 (0)20 7946 0958 desk"),
             # --- must NOT mask ---
             (10, "on 2026-08-18 4 people came"),
             (11, "2020-2021 19 items shipped"),
@@ -56,7 +60,7 @@ def test_phone_recall_and_date_adjacency(spark):
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
-    for i in range(6):
+    for i in range(10):
         assert out[i]["n_phone"] == 1 and "<PHONE>" in out[i]["redacted"], (
             i, out[i]["redacted"])
     for i in (10, 11, 12, 13, 14):
