@@ -62,7 +62,14 @@ def lang_id(
 def _quality_parts(tokens_col: str, stopwords: list[str] | None = None):
     """(n_tok, uniq_ratio, stop_ratio, mean_len, quality) column
     expressions — the ONE definition of the quality formula, shared by
-    quality_score and quality_expr so compositions cannot drift."""
+    quality_score and quality_expr so compositions cannot drift.
+
+    EXCEPTION: quality_at_least holds a hand-derived INTEGER form of
+    this same formula (cross-multiplied so thresholds decide exactly).
+    If the weights (0.4/0.3/0.3) or the mean-length cap (8) change
+    here, its coefficients must be re-derived in the same commit —
+    tests/test_dedup_ann_textstats.py::test_quality_gate_matches_float_formula
+    sweeps the two against each other and fails on any drift."""
     stopwords = stopwords or EN_STOPWORDS
     sw = ",".join(f"'{s}'" for s in stopwords)
     n_tok = F.size(tokens_col)
@@ -110,6 +117,11 @@ def quality_at_least(
 
     Empty docs (n = 0) are rejected, matching quality_score's
     ``n_tok > 0`` precondition.
+
+    The coefficients are hand-derived from _quality_parts' formula
+    (weights 0.4/0.3/0.3, mean-length cap 8); if that formula changes,
+    re-derive these in the same commit — the drift-sweep test named in
+    _quality_parts' docstring enforces agreement.
     """
     qnum, qden = threshold
     stopwords = stopwords or EN_STOPWORDS

@@ -505,3 +505,43 @@ def test_dedup_survivors_chain_closure(spark):
     assert out == {0: 3, 3: 1, 4: 2}
     # survivors' member counts cover the whole corpus exactly once
     assert sum(out.values()) == 6
+
+
+def test_quality_gate_matches_float_formula(spark):
+    """Drift sweep: quality_at_least's hand-derived integer form must
+    agree with _quality_parts' float formula everywhere off the exact
+    threshold boundary (ON the boundary the integer form is the spec —
+    see test_quality_at_least_exact_boundary). Seeded random docs mix
+    stopwords, repeats, and short/long tokens; any future edit to the
+    formula weights or the mean-length cap that misses the other copy
+    fails here."""
+    import random
+
+    from entitymatch_spark.operators.textstats import (
+        EN_STOPWORDS,
+        quality_at_least,
+        quality_expr,
+    )
+
+    rng = random.Random(11)
+    vocab = ["x", "tokn", "abcdefgh", "yz", "longtokenword"] + list(
+        EN_STOPWORDS[:8]
+    )
+    rows = [
+        (i, [rng.choice(vocab) for _ in range(rng.randrange(1, 30))])
+        for i in range(300)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    for thr in ((617, 1000), (11, 20), (3, 5), (499, 1000)):
+        got = d.select(
+            "doc_id",
+            quality_at_least("tokens", thr).alias("gate"),
+            quality_expr("tokens").alias("q"),
+        ).collect()
+        t = thr[0] / thr[1]
+        bad = [
+            (r["doc_id"], r["q"], r["gate"])
+            for r in got
+            if abs(r["q"] - t) > 1e-9 and r["gate"] != (r["q"] >= t)
+        ]
+        assert not bad, (thr, bad[:5])
