@@ -98,10 +98,12 @@ def main() -> None:
 
         # three snapshots per page: canonicalization must collapse the
         # tracking-param and fragment recrawls onto the base URL and the
-        # window must pick the freshest (+2d) one
+        # window must pick the freshest (+2d) one. TRACKING-ONLY params
+        # (utm_/fbclid) — a non-tracking param would survive
+        # canonicalization and split the group to 2+1.
         snaps = pages.select("url", "warc_ts", "text").unionByName(
             pages.select(
-                F.concat("url", F.lit("?utm_source=feed&x=1")).alias("url"),
+                F.concat("url", F.lit("?utm_source=feed&fbclid=1")).alias("url"),
                 (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
                 "text",
             )
