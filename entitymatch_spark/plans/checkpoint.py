@@ -119,18 +119,38 @@ class CheckpointManager:
         name: str,
         bucket_ids: Sequence[int],
         fn: Callable[[int], DataFrame],
+        bucketing: str | None = None,
     ) -> DataFrame:
         """Resume-mid-stage checkpoint: one commit per bucket.
 
         ``fn(bucket_id)`` computes that bucket's slice (caller guarantees
         buckets are disjoint and deterministic, e.g. pmod(hash(key), n)).
         Completed buckets are never recomputed on rerun.
+
+        ``bucketing`` describes the bucketing FUNCTION (e.g.
+        "pmod(xxhash64(id_a,id_b), 16)") and is recorded in the
+        manifest on first run; a resume whose ``bucketing`` differs
+        raises instead of silently mixing incompatible slices — a
+        16-bucket run resumed with 8 buckets would skip "done" buckets
+        whose old slices do not cover the new ones (lost rows), and the
+        reverse would double-cover (duplicated rows).
         """
         out = self._dir(name)
         out.mkdir(parents=True, exist_ok=True)
         m = self._read_manifest(name) or {
             "stage": name, "complete": False, "buckets_done": [], "rows_by_bucket": {},
         }
+        if bucketing is not None:
+            prev = m.get("bucketing")
+            if prev is None:
+                m["bucketing"] = bucketing
+            elif prev != bucketing:
+                raise ValueError(
+                    f"bucketed stage {name!r} was checkpointed with "
+                    f"bucketing={prev!r} but is being resumed with "
+                    f"bucketing={bucketing!r}; resume with the original "
+                    f"bucketing or clear {self._dir(name)} to recompute"
+                )
         done = set(m["buckets_done"])
         for b in bucket_ids:
             if b in done:
@@ -160,9 +180,17 @@ class CheckpointManager:
         if m.get("complete") != complete:
             m["complete"] = complete
             self._write_manifest(name, m)
+        # return the REQUESTED buckets (all done by this point), not
+        # every historically-done bucket — a subset request must yield
+        # only that subset's rows
         return self.spark.read.option("basePath", str(out)).parquet(
-            *[str(out / f"bucket={b}") for b in sorted(done)]
+            *[str(out / f"bucket={b}") for b in sorted(set(bucket_ids))]
         )
 
     def metrics_df(self) -> DataFrame:
-        return self.spark.read.json(str(self.base / "metrics.jsonl"))
+        p = self.base / "metrics.jsonl"
+        if not p.exists():  # nothing logged yet (fresh dir / cache-hit runs)
+            return self.spark.createDataFrame(
+                [], "ts double, stage string, rows long, seconds double"
+            )
+        return self.spark.read.json(str(p))

@@ -87,15 +87,26 @@ def resumable_match_pipeline(
         return out
 
     pairs = ck.stage("pairs", _pairs)
+
     # Mirror pipeline.py: honor the broadcast cap (the long-job scenario
     # this resumable path targets is exactly where an unbounded vocab
-    # collect would kill the driver).
-    if cfg.idf_max_entries is not None:
-        idf_map, default_idf = collect_idf_map_bounded(idf, cfg.idf_max_entries)
-    else:
-        idf_map, default_idf = collect_idf_map(idf), 1e-5
+    # collect would kill the driver). LAZY: the collect runs only when a
+    # bucket actually needs scoring — a fully-resumed rerun (every
+    # bucket committed) must not pay a vocabulary-sized driver collect
+    # just to read parquet back.
+    _idf_cache: dict = {}
+
+    def _get_idf() -> tuple[dict, float]:
+        if not _idf_cache:
+            if cfg.idf_max_entries is not None:
+                m, d = collect_idf_map_bounded(idf, cfg.idf_max_entries)
+            else:
+                m, d = collect_idf_map(idf), 1e-5
+            _idf_cache["map"], _idf_cache["default"] = m, d
+        return _idf_cache["map"], _idf_cache["default"]
 
     def _score_bucket(b: int) -> DataFrame:
+        idf_map, default_idf = _get_idf()
         bucket = pairs.filter(
             F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_score_buckets)) == b
         )
@@ -103,7 +114,16 @@ def resumable_match_pipeline(
             bucket, docs, idf_map, weights=cfg.weights, default_idf=default_idf
         )
 
-    scored = ck.bucketed_stage("scored", range(n_score_buckets), _score_bucket)
+    # the bucketing string pins n_score_buckets in the manifest: a
+    # resume at a different count would silently lose or duplicate
+    # pairs (old "done" buckets cover a different hash range), so the
+    # manager raises on mismatch instead
+    scored = ck.bucketed_stage(
+        "scored",
+        range(n_score_buckets),
+        _score_bucket,
+        bucketing=f"pmod(xxhash64(id_a,id_b), {n_score_buckets})",
+    )
 
     components = ck.stage(
         "components",

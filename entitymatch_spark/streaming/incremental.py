@@ -44,18 +44,31 @@ def incremental_minhash_keys(
     bands: int = 16,
     rows_per_band: int = 4,
     seed: int = 42,
+    token_hash: str = "xxhash64",
+    band_hash: str = "xxhash64",
 ) -> DataFrame:
     """Streaming (url, key): LSH blocking keys for newly arrived pages.
 
     minhash_signature aggregates per url; on a stream this is a
     stateless per-row aggregation only because each url appears once
     per micro-batch — enforced by the upstream source contract.
+
+    ``token_hash``/``band_hash`` MUST match the static index's
+    configuration (MatchConfig.minhash_token_hash / lsh_band_hash):
+    keys built with a different hash variant never collide with the
+    indexed keys, so recall silently drops to zero on the LSH branch.
     """
     docs = pages_stream.select(
         F.col("url").alias("doc_id"), tokenize("text").alias("tokens")
     )
-    sigs = minhash_signature(docs, id_col="doc_id", num_hashes=num_hashes, seed=seed)
-    return lsh_band_keys(sigs, bands=bands, rows_per_band=rows_per_band, id_col="doc_id")
+    sigs = minhash_signature(
+        docs, id_col="doc_id", num_hashes=num_hashes, seed=seed,
+        token_hash=token_hash,
+    )
+    return lsh_band_keys(
+        sigs, bands=bands, rows_per_band=rows_per_band, id_col="doc_id",
+        band_hash=band_hash,
+    )
 
 
 def incremental_match(
@@ -69,6 +82,8 @@ def incremental_match(
     bands: int = 16,
     rows_per_band: int = 4,
     seed: int = 42,
+    token_hash: str = "xxhash64",
+    band_hash: str = "xxhash64",
     weights: dict[str, float] | None = None,
     threshold: float | None = None,
     default_idf: float = 1e-5,
@@ -107,6 +122,10 @@ def incremental_match(
     static_docs: (doc_id, norm_text, tokens) of the indexed corpus.
     static_keys: (doc_id, key) — purged blocking keys of that corpus.
     idf/idf_map: the index's IDF table (broadcast) and scorer dict.
+    token_hash/band_hash (and num_hashes/bands/rows_per_band/seed) MUST
+    mirror the static index's MatchConfig — keys built with a different
+    hash variant never equal the indexed keys, so the LSH branch of the
+    stream-static join silently matches nothing.
 
     Emits (id_a = new url, id_b = indexed doc, features..., score).
     """
@@ -152,10 +171,14 @@ def incremental_match(
         .select(*carry, F.concat(F.lit("tok:"), F.col("token")).alias("key"))
     )
     lsh_keys = (
-        a_hyd.withColumn("sig", minhash_sig_expr("_toks", num_hashes, seed))
+        a_hyd.withColumn(
+            "sig", minhash_sig_expr("_toks", num_hashes, seed, token_hash)
+        )
         .select(
             *carry,
-            F.explode(lsh_band_keys_expr("sig", bands, rows_per_band)).alias("key"),
+            F.explode(
+                lsh_band_keys_expr("sig", bands, rows_per_band, band_hash)
+            ).alias("key"),
         )
     )
     keys_a = tok_keys.unionByName(lsh_keys)

@@ -31,10 +31,8 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total double"
 )
-# micros since epoch; flat longs keep the state-store codec trivial
+# wall-clock micros (session tz); flat longs keep the state codec trivial
 SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
-
-_US_PER_MS = 1_000
 
 
 def _emit(uid: int, start_us: int, last_us: int, n: int, total: float) -> dict:
@@ -58,10 +56,26 @@ def sessionize_stream(
     """(user_id, session_start, session_end, n_events, total) of CLOSED
     sessions over an event stream. A session closes when the next event
     of the user is > gap later, or when the watermark passes
-    last_event + gap (event-time timeout)."""
+    last_event + gap (event-time timeout).
+
+    Late data (inside the watermark) that is OLDER than the open
+    session's bounds extends the session backward (start = min,
+    last = max) — it never moves `last` backward or shortens the
+    timeout; a late event predating an already-FLUSHED session attaches
+    to the open one rather than reopening the closed one (closed
+    sessions are immutable, the append-mode contract)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    # State keeps wall-clock micros in the SESSION time zone (the tz
+    # Arrow renders naive timestamps in, symmetric with the emitted
+    # naive timestamps), but setTimeoutTimestamp compares against the
+    # watermark in true epoch ms — capture the session tz at plan build
+    # so the executor-side closure can convert. With any tz other than
+    # UTC a naive astype('int64') timeout would be skewed by the tz
+    # offset (flushing hours late, or dying on 'timeout earlier than
+    # watermark' for negative offsets).
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -97,15 +111,26 @@ def sessionize_stream(
                     t_us = int(t_us)
                     if last is not None and t_us - last > gap_us:
                         out.append(_emit(uid, start, last, n, total))
-                        start, n, total = t_us, 0, 0.0
-                    if start is None:
-                        start = t_us
-                    last = t_us
+                        start, last, n, total = None, None, 0, 0.0
+                    # late events must never move the bounds backward:
+                    # a cross-batch event older than the stored state
+                    # extends start down, not last down (a shrinking
+                    # `last` would emit session_end < session_start and
+                    # pull the timeout earlier than already promised)
+                    start = t_us if start is None else min(start, t_us)
+                    last = t_us if last is None else max(last, t_us)
                     n += 1
                     total += float(v)
                 state.update((int(start), int(last), int(n), float(total)))
-                # flush when the watermark passes the gap after the last event
-                state.setTimeoutTimestamp((int(last) + gap_us) // _US_PER_MS)
+                # flush when the watermark passes the gap after the last
+                # event; wall-clock micros -> true epoch ms via the
+                # session tz (identical when tz is UTC)
+                timeout_ms = (
+                    pd.Timestamp(int(last) + gap_us, unit="us")
+                    .tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+                    .value // 1_000_000
+                )
+                state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(
             out,
             columns=[

@@ -161,3 +161,48 @@ def test_stage_manifest_records_per_file_lineage(spark, tmp_path):
     assert set(m["rows_by_file"]) == set(m["files"]) and len(m["files"]) == 4
     assert sum(m["rows_by_file"].values()) == 1000
     assert all(n > 0 for n in m["rows_by_file"].values())
+
+
+def test_bucketed_stage_rejects_changed_bucketing(spark, tmp_path):
+    """Resuming a bucketed stage with a different bucketing function
+    must raise: a 16-bucket run resumed at 8 buckets would skip 'done'
+    buckets whose slices do not cover the new ranges (silent row loss),
+    and the reverse would double-cover."""
+    import pytest
+
+    from entitymatch_spark.plans.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(spark, tmp_path / "wd")
+
+    def fn(b):
+        return spark.range(b * 10, b * 10 + 3).withColumnRenamed("id", "v")
+
+    ck.bucketed_stage("sc", [0, 1], fn, bucketing="pmod(h, 4)")
+    # same bucketing resumes fine
+    ck.bucketed_stage("sc", [0, 1, 2], fn, bucketing="pmod(h, 4)")
+    with pytest.raises(ValueError, match="bucketing"):
+        ck.bucketed_stage("sc", [0, 1], fn, bucketing="pmod(h, 8)")
+
+
+def test_bucketed_stage_returns_requested_subset(spark, tmp_path):
+    """After more buckets exist on disk, a subset request must return
+    only that subset's rows, not every historically-done bucket."""
+    from entitymatch_spark.plans.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(spark, tmp_path / "wd")
+
+    def fn(b):
+        return spark.range(b * 10, b * 10 + 2).withColumnRenamed("id", "v")
+
+    ck.bucketed_stage("sc", [0, 1, 2, 3], fn)
+    sub = ck.bucketed_stage("sc", [1, 2], fn)
+    assert sorted(r["v"] for r in sub.collect()) == [10, 11, 20, 21]
+
+
+def test_metrics_df_empty_workdir(spark, tmp_path):
+    """metrics_df on a fresh (or all-cache-hit) workdir returns an empty
+    frame instead of raising PATH_NOT_FOUND."""
+    from entitymatch_spark.plans.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(spark, tmp_path / "fresh")
+    assert ck.metrics_df().count() == 0

@@ -288,3 +288,57 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         want.add((u, cur[0][0].to_pydatetime(), cur[-1][0].to_pydatetime(),
                   len(cur), sum(v for _, v in cur)))
     assert got == want, (len(got), len(want))
+
+
+def test_stateful_sessionize_late_event_extends_backward(spark, tmp_path):
+    """A late event (inside the watermark) OLDER than the open session's
+    state must extend the session BACKWARD (start = min), never move
+    `last` backward: the pre-fix code set last=9:40 after a 10:00
+    event, emitting session_end < session_start and pulling the
+    event-time timeout earlier than already promised."""
+    import os
+    import pandas as pd
+
+    from entitymatch_spark.streaming.stateful import sessionize_stream
+
+    t0 = pd.Timestamp("2024-03-01 10:00:00")
+    late = pd.Timestamp("2024-03-01 09:40:00")
+    sentinel = (999, pd.Timestamp("2024-03-05 00:00:00"), 0.0)
+    chunks = [
+        [(1, t0, 1.0)],            # opens the session at 10:00
+        [(1, late, 2.0)],          # late but within the 2h watermark
+        [sentinel],                # advances watermark -> flush user 1
+    ]
+    d = tmp_path / "late_ev"
+    d.mkdir()
+    for i, chunk in enumerate(chunks):
+        df = spark.createDataFrame(
+            [(u, t.to_pydatetime(), v) for u, t, v in chunk],
+            "user_id long, ts timestamp, value double",
+        )
+        p = d / f"chunk-{i}"
+        df.coalesce(1).write.parquet(str(p))
+        for f in p.rglob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+        .writeStream.format("memory").queryName("late_sink")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["total"])
+        for r in spark.sql(
+            "select * from late_sink where user_id = 1"
+        ).collect()
+    ]
+    assert got == [
+        (1, late.to_pydatetime(), t0.to_pydatetime(), 2, 3.0)
+    ], got
