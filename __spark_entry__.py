@@ -2130,7 +2130,10 @@ def oracle_sql() -> dict[str, str]:
                          0.4 * (u / n) + 0.3 * (1.0 - s / n)
                          + 0.3 * least(tl / n / 8.0, 1.0) AS quality
                   FROM m
-                  WHERE CASE WHEN tl >= 8 * n
+                  -- n > 0 mirrors quality_at_least's (n > 0) & precondition
+                  -- (m already filters len(tk) > 0; the guard keeps the gate
+                  -- self-contained if that filter ever moves)
+                  WHERE n > 0 AND CASE WHEN tl >= 8 * n
                         THEN 20 * (4 * u + 3 * (n - s) + 3 * n)
                              >= 10 * 11 * n
                         ELSE 20 * (32 * u + 24 * (n - s) + 3 * tl)

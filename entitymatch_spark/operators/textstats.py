@@ -96,9 +96,40 @@ def quality_expr(tokens_col: str = "tokens", stopwords: list[str] | None = None)
     return _quality_parts(tokens_col, stopwords)[4]
 
 
+def coerce_rational(threshold, what: str = "quality threshold") -> tuple[int, int]:
+    """Validate/coerce a rational threshold to an exact (num, den) pair.
+
+    The integer gates (quality_at_least, verify_token_jaccard) decide
+    ``x >= num/den`` by cross-multiplication, so they need integers. A
+    legacy float (the pre-round-4 API shape, e.g. ``0.62``) is accepted
+    and converted via ``Fraction.limit_denominator`` — which recovers
+    the decimal the caller typed (0.62 -> 31/50) rather than the
+    float's binary expansion — instead of failing with an opaque
+    unpacking TypeError deep inside the gate."""
+    from fractions import Fraction
+
+    if isinstance(threshold, bool):
+        raise TypeError(f"{what} must be (num, den) ints or a number, got bool")
+    if isinstance(threshold, (int, float)):
+        fr = Fraction(threshold).limit_denominator(10_000)
+        return fr.numerator, fr.denominator
+    try:
+        qnum, qden = threshold
+    except (TypeError, ValueError):
+        raise TypeError(
+            f"{what} must be a (num, den) integer pair or a number, "
+            f"got {threshold!r}"
+        ) from None
+    if not (isinstance(qnum, int) and isinstance(qden, int)) or qden <= 0:
+        raise TypeError(
+            f"{what} (num, den) must be ints with den > 0, got {threshold!r}"
+        )
+    return qnum, qden
+
+
 def quality_at_least(
     tokens_col: str = "tokens",
-    threshold: tuple[int, int] = (62, 100),
+    threshold: tuple[int, int] | float = (62, 100),
     stopwords: list[str] | None = None,
 ):
     """Boolean gate ``quality >= qnum/qden`` by INTEGER cross-
@@ -123,7 +154,7 @@ def quality_at_least(
     re-derive these in the same commit — the drift-sweep test named in
     _quality_parts' docstring enforces agreement.
     """
-    qnum, qden = threshold
+    qnum, qden = coerce_rational(threshold)
     stopwords = stopwords or EN_STOPWORDS
     sw = ",".join(f"'{s}'" for s in stopwords)
     n = F.size(tokens_col).cast("long")

@@ -144,6 +144,10 @@ class CheckpointManager:
             prev = m.get("bucketing")
             if prev is None:
                 m["bucketing"] = bucketing
+                # persist NOW, not just when a bucket runs: resuming an
+                # already-complete legacy checkpoint would otherwise record
+                # the bucketing in memory only and the guard never arms
+                self._write_manifest(name, m)
             elif prev != bucketing:
                 raise ValueError(
                     f"bucketed stage {name!r} was checkpointed with "
@@ -187,10 +191,13 @@ class CheckpointManager:
             *[str(out / f"bucket={b}") for b in sorted(set(bucket_ids))]
         )
 
+    # one explicit schema for BOTH the empty-dir fallback and the populated
+    # read: inference on a populated file would otherwise yield a different
+    # column order/type set (and drop `bucket`, which bucketed stages log)
+    METRICS_SCHEMA = "ts double, stage string, bucket long, rows long, seconds double"
+
     def metrics_df(self) -> DataFrame:
         p = self.base / "metrics.jsonl"
         if not p.exists():  # nothing logged yet (fresh dir / cache-hit runs)
-            return self.spark.createDataFrame(
-                [], "ts double, stage string, rows long, seconds double"
-            )
-        return self.spark.read.json(str(p))
+            return self.spark.createDataFrame([], self.METRICS_SCHEMA)
+        return self.spark.read.schema(self.METRICS_SCHEMA).json(str(p))

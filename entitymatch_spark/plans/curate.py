@@ -59,6 +59,24 @@ class CurateConfig:
     band_hash: str = "xxhash64"   # "concat" = oracle-portable variant
     seed: int = 42
 
+    def __post_init__(self):
+        # legacy callers pass floats (the pre-rational API shape,
+        # e.g. quality_min=0.62); coerce to an exact (num, den) pair
+        # here instead of failing with an opaque unpacking error deep
+        # inside the integer gates
+        from entitymatch_spark.operators.textstats import coerce_rational
+
+        object.__setattr__(
+            self, "quality_min",
+            coerce_rational(self.quality_min, "CurateConfig.quality_min"),
+        )
+        object.__setattr__(
+            self, "jaccard_threshold",
+            coerce_rational(
+                self.jaccard_threshold, "CurateConfig.jaccard_threshold"
+            ),
+        )
+
 
 def sample_hash(id_col, mod: int):
     """Deterministic per-id sampling hash in [0, mod): first 8 md5 hex

@@ -31,15 +31,25 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total double"
 )
-# wall-clock micros (session tz); flat longs keep the state codec trivial
+# TRUE epoch micros; flat longs keep the state codec trivial. Epoch (not
+# wall-clock) so gap/timeout arithmetic is DST-immune: a wall-clock gap
+# across spring-forward reads 1h longer than the true gap (false session
+# split), fall-back 1h shorter (missed split).
 SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
 
 
-def _emit(uid: int, start_us: int, last_us: int, n: int, total: float) -> dict:
+def _emit(
+    uid: int, start_us: int, last_us: int, n: int, total: float, tz: str
+) -> dict:
+    # epoch micros -> naive wall-clock in the session tz (the shape Spark
+    # expects back for a `timestamp` output column)
+    def wall(us: int) -> pd.Timestamp:
+        return pd.Timestamp(us, unit="us", tz="UTC").tz_convert(tz).tz_localize(None)
+
     return {
         "user_id": uid,
-        "session_start": pd.Timestamp(start_us, unit="us"),
-        "session_end": pd.Timestamp(last_us, unit="us"),
+        "session_start": wall(start_us),
+        "session_end": wall(last_us),
         "n_events": n,
         "total": float(total),
     }
@@ -67,14 +77,15 @@ def sessionize_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
-    # State keeps wall-clock micros in the SESSION time zone (the tz
-    # Arrow renders naive timestamps in, symmetric with the emitted
-    # naive timestamps), but setTimeoutTimestamp compares against the
-    # watermark in true epoch ms — capture the session tz at plan build
-    # so the executor-side closure can convert. With any tz other than
-    # UTC a naive astype('int64') timeout would be skewed by the tz
-    # offset (flushing hours late, or dying on 'timeout earlier than
-    # watermark' for negative offsets).
+    # Arrow renders TIMESTAMP columns as NAIVE wall-clock in the session
+    # time zone; convert to TRUE epoch micros ONCE on entry (capture the
+    # session tz at plan build so the executor-side closure can convert)
+    # and keep ALL state/gap/timeout arithmetic in epoch time. Wall-clock
+    # arithmetic would skew across DST transitions (spring-forward
+    # inflates an apparent gap by 1h -> false split; fall-back deflates
+    # it -> missed split) and would feed setTimeoutTimestamp — which
+    # compares against the watermark in true epoch ms — an offset value.
+    # Only the EMITTED timestamps convert back to wall clock (_emit).
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
 
     def fn(
@@ -84,7 +95,7 @@ def sessionize_stream(
         out: list[dict] = []
         if state.hasTimedOut:
             start, last, n, total = state.get
-            out.append(_emit(uid, start, last, n, total))
+            out.append(_emit(uid, start, last, n, total, tz))
             state.remove()
         else:
             batches = [pdf[[ts_col, value_col]] for pdf in pdfs]
@@ -96,11 +107,20 @@ def sessionize_stream(
                 # silently skew gaps and timeouts by 1000x.
                 ts = data[ts_col]
                 unit = getattr(ts.dtype, "unit", None)  # datetime64[<unit>]
-                divisor = {"ns": 1_000, "us": 1, "ms": None, "s": None}.get(unit)
-                if divisor is None:
+                if unit not in ("ns", "us"):
                     ts = ts.dt.as_unit("us") if hasattr(ts.dt, "as_unit") else ts.astype("datetime64[us]")
-                    divisor = 1
-                ts_us = ts.astype("int64") // divisor
+                    unit = "us"
+                # naive wall-clock (session tz) -> true epoch micros; for
+                # repeated fall-back wall-clock times ambiguous=True picks
+                # the DST instant deterministically, spring-forward holes
+                # shift forward
+                ts_epoch = (
+                    ts.dt.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+                    .dt.tz_convert("UTC")
+                    .dt.tz_localize(None)
+                )
+                divisor = 1_000 if unit == "ns" else 1
+                ts_us = ts_epoch.astype("int64") // divisor
                 vals = data[value_col].astype("float64")
                 if state.exists:
                     start, last, n, total = state.get
@@ -110,7 +130,7 @@ def sessionize_stream(
                 for t_us, v in zip(ts_us, vals):
                     t_us = int(t_us)
                     if last is not None and t_us - last > gap_us:
-                        out.append(_emit(uid, start, last, n, total))
+                        out.append(_emit(uid, start, last, n, total, tz))
                         start, last, n, total = None, None, 0, 0.0
                     # late events must never move the bounds backward:
                     # a cross-batch event older than the stored state
@@ -123,14 +143,9 @@ def sessionize_stream(
                     total += float(v)
                 state.update((int(start), int(last), int(n), float(total)))
                 # flush when the watermark passes the gap after the last
-                # event; wall-clock micros -> true epoch ms via the
-                # session tz (identical when tz is UTC)
-                timeout_ms = (
-                    pd.Timestamp(int(last) + gap_us, unit="us")
-                    .tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
-                    .value // 1_000_000
-                )
-                state.setTimeoutTimestamp(timeout_ms)
+                # event; state is already true epoch micros, so the
+                # epoch-ms timeout is plain integer arithmetic
+                state.setTimeoutTimestamp((int(last) + gap_us) // 1_000)
         yield pd.DataFrame(
             out,
             columns=[

@@ -206,3 +206,53 @@ def test_metrics_df_empty_workdir(spark, tmp_path):
 
     ck = CheckpointManager(spark, tmp_path / "fresh")
     assert ck.metrics_df().count() == 0
+
+
+def test_bucketing_guard_arms_on_legacy_complete_checkpoint(spark, tmp_path):
+    """Recording `bucketing` on an already-complete LEGACY checkpoint
+    (one created before the guard existed, i.e. without a bucketing
+    string) must PERSIST immediately: if it lived in memory only, the
+    very resume-with-different-bucketing scenario the guard targets
+    would still pass silently once."""
+    import pytest
+
+    from entitymatch_spark.plans.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(spark, tmp_path / "wd")
+
+    def fn(b):
+        return spark.range(b * 10, b * 10 + 3).withColumnRenamed("id", "v")
+
+    # legacy run: no bucketing recorded, stage completes
+    ck.bucketed_stage("legacy", [0, 1], fn)
+    # resume of the complete stage records the bucketing (no bucket runs,
+    # complete flag unchanged -> the write must happen at record time)
+    ck.bucketed_stage("legacy", [0, 1], fn, bucketing="pmod(h, 4)")
+    # a FRESH manager (fresh in-memory state) must still see it and refuse
+    ck2 = CheckpointManager(spark, tmp_path / "wd")
+    with pytest.raises(ValueError, match="bucketing"):
+        ck2.bucketed_stage("legacy", [0, 1], fn, bucketing="pmod(h, 8)")
+
+
+def test_metrics_df_same_schema_fresh_and_populated(spark, tmp_path):
+    """The empty-workdir fallback and the populated read must return the
+    IDENTICAL schema (incl. the `bucket` column bucketed stages log) so
+    downstream unions/selects behave the same on both paths."""
+    from entitymatch_spark.plans.checkpoint import CheckpointManager
+
+    fresh = CheckpointManager(spark, tmp_path / "fresh").metrics_df()
+
+    ck = CheckpointManager(spark, tmp_path / "wd")
+    ck.stage("s1", lambda: spark.range(5))
+
+    def fn(b):
+        return spark.range(b * 10, b * 10 + 2).withColumnRenamed("id", "v")
+
+    ck.bucketed_stage("b1", [0, 1], fn)
+    pop = ck.metrics_df()
+    assert [f.simpleString() for f in fresh.schema.fields] == [
+        f.simpleString() for f in pop.schema.fields
+    ]
+    rows = {r["stage"]: r for r in pop.collect()}
+    assert rows["s1"]["bucket"] is None and rows["s1"]["rows"] == 5
+    assert {r["bucket"] for r in pop.collect() if r["stage"] == "b1"} == {0, 1}

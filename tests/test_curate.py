@@ -89,3 +89,39 @@ def test_split_assign_rejects_bad_weights(spark):
     docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
     with _pytest.raises(ValueError):
         split_assign(docs, splits={"train": 9000, "val": 400})
+
+
+def test_curate_config_accepts_legacy_float_threshold(spark):
+    """Pre-rational callers passed quality_min=0.62; that must coerce to
+    the exact decimal rational (31/50), not fail with an unpacking
+    TypeError deep inside the integer gate."""
+    import pytest
+
+    from entitymatch_spark.operators.textstats import coerce_rational
+
+    cfg = CurateConfig(quality_min=0.62)
+    assert cfg.quality_min == (31, 50)
+    cfg = CurateConfig(quality_min=0.55, jaccard_threshold=0.5)
+    assert cfg.quality_min == (11, 20) and cfg.jaccard_threshold == (1, 2)
+    assert coerce_rational((3, 5)) == (3, 5)
+    with pytest.raises(TypeError, match="num, den"):
+        CurateConfig(quality_min="0.62")
+    with pytest.raises(TypeError, match="den > 0"):
+        CurateConfig(quality_min=(1, 0))
+
+
+def test_quality_at_least_float_threshold_matches_rational(spark):
+    """quality_at_least(0.55) == quality_at_least((11, 20)) row-for-row."""
+    from entitymatch_spark.functions.text import tokenize
+    from entitymatch_spark.operators.textstats import quality_at_least
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"tok{j % (i + 1)}" for j in range(12)))
+         for i in range(40)],
+        "doc_id long, text string",
+    ).withColumn("tokens", tokenize("text"))
+    a = docs.filter(quality_at_least("tokens", 0.55)).select("doc_id")
+    b = docs.filter(quality_at_least("tokens", (11, 20))).select("doc_id")
+    got_a = {r["doc_id"] for r in a.collect()}
+    got_b = {r["doc_id"] for r in b.collect()}
+    assert got_a == got_b and 0 < len(got_a) < 40

@@ -342,3 +342,57 @@ def test_stateful_sessionize_late_event_extends_backward(spark, tmp_path):
     assert got == [
         (1, late.to_pydatetime(), t0.to_pydatetime(), 2, 3.0)
     ], got
+
+
+def test_stateful_sessionize_dst_uses_epoch_arithmetic(spark, tmp_path):
+    """Gap/timeout arithmetic must run in TRUE epoch time: two events 55
+    true-minutes apart straddling the US spring-forward transition read
+    1h55m apart in WALL clock — wall-clock arithmetic would falsely
+    split the session at gap=60min. Emitted bounds still come back as
+    session-tz wall clock (the timestamp-column contract)."""
+    import os
+
+    from entitymatch_spark.streaming.stateful import sessionize_stream
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        # 2024-03-10 09:30Z = 01:30 PST; +55min = 10:25Z = 03:25 PDT
+        t1 = 1710063000
+        t2 = t1 + 55 * 60
+        sentinel = (999, t1 + 30 * 86400, 0.0)
+        chunks = [[(1, t1, 1.0), (1, t2, 2.0)], [sentinel]]
+        d = tmp_path / "dst_ev"
+        d.mkdir()
+        for i, chunk in enumerate(chunks):
+            df = spark.createDataFrame(
+                chunk, "user_id long, epoch long, value double"
+            ).select(
+                "user_id", F.timestamp_seconds("epoch").alias("ts"), "value"
+            )
+            p = d / f"chunk-{i}"
+            df.coalesce(1).write.parquet(str(p))
+            for f in p.rglob("*.parquet"):
+                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d) + "/*")
+        )
+        q = (
+            sessionize_stream(stream, gap_minutes=60, watermark="2 hours")
+            .writeStream.format("memory").queryName("dst_sink")
+            .outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("select * from dst_sink where user_id = 1").collect()
+        assert len(rows) == 1, rows          # ONE session: true gap 55min < 60
+        r = rows[0]
+        assert r["n_events"] == 2 and r["total"] == 3.0
+        # collect() round-trips timestamps through the OS tz symmetrically,
+        # so .timestamp() recovers the true epoch instants exactly
+        assert int(r["session_start"].timestamp()) == t1
+        assert int(r["session_end"].timestamp()) == t2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
