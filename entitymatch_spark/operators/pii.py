@@ -66,14 +66,31 @@ def redact_pii(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    custom_rules: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
-    """(id, redacted, n_email, n_ip, n_phone): text with PII masked by
-    typed placeholders plus per-category counts (counted BEFORE
-    masking, on the stage each rule actually sees — the audit numbers
-    a scrub job reports)."""
+    """(id, redacted, n_email, n_ip, n_phone[, n_<custom>...]): text with
+    PII masked by typed placeholders plus per-category counts (counted
+    BEFORE masking, on the stage each rule actually sees — the audit
+    numbers a scrub job reports).
+
+    ``custom_rules``: extra ``(name, java_regex, placeholder)`` rules
+    appended AFTER the built-ins (so they see built-in placeholders, not
+    raw emails/phones), each masking and auditing like the built-ins —
+    the extension seam for site ids, national id formats, or an
+    NER-derived pattern list, without forking this module. Names must
+    not collide with built-ins or each other."""
+    rules = list(_RULES)
+    if custom_rules:
+        seen = {name for name, _, _ in rules}
+        for rule in custom_rules:
+            name, pattern, token = rule  # fail fast on bad shape
+            if name in seen:
+                raise ValueError(f"duplicate redaction rule name {name!r}")
+            seen.add(name)
+            rules.append((name, pattern, token))
     out = docs.select(F.col(id_col), F.col(text_col).alias("redacted"))
     counts = []
-    for name, pattern, token in _RULES:
+    for name, pattern, token in rules:
         out = out.withColumn(f"n_{name}", _count("redacted", pattern))
         out = out.withColumn(
             "redacted", F.regexp_replace("redacted", pattern, token)

@@ -168,3 +168,36 @@ def test_phone_regex_java_re2_agree_fuzz(spark):
     }
     bad = [(i, texts[i], got[i], want[i]) for i in got if got[i] != want[i]]
     assert not bad, bad[:5]
+
+
+def test_redact_pii_custom_rules_mask_and_audit(spark):
+    """The custom_rules seam: extra (name, regex, placeholder) rules
+    append after the built-ins, mask, and audit alongside them."""
+    import pytest
+
+    from entitymatch_spark.operators.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "ssn 123-45-6789 mail a@b.co order ORD-998877"),
+            (1, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = redact_pii(
+        docs,
+        custom_rules=[
+            ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+            ("order", r"\bORD-\d{6}\b", "<ORDER>"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["redacted"] == "ssn <SSN> mail <EMAIL> order <ORDER>"
+    assert (rows[0]["n_ssn"], rows[0]["n_order"], rows[0]["n_email"]) == (1, 1, 1)
+    assert rows[1]["n_ssn"] == 0 and rows[1]["redacted"] == "no pii here"
+    # built-in output contract unchanged when no custom rules are given
+    assert redact_pii(docs).columns == [
+        "doc_id", "redacted", "n_email", "n_ip", "n_phone"
+    ]
+    with pytest.raises(ValueError, match="duplicate"):
+        redact_pii(docs, custom_rules=[("email", r"x", "<X>")])
