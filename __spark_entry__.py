@@ -1293,6 +1293,174 @@ def q_incremental_match(spark, sf):
     )
 
 
+def _drain_stream_to_table(spark, out_df, prefix: str) -> DataFrame:
+    """Run a bounded streaming DataFrame to completion (memory sink,
+    processAllAvailable) and return the materialized batch table. The
+    uuid-suffixed sink name keeps re-runs in one session independent."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:10]}"
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def q_stream_sessionize(spark, sf):
+    """STANDING VALUE GATE for the stateful streaming layer: the events
+    table replayed as a REAL file stream (3 time-ordered micro-batches,
+    maxFilesPerTrigger=1) through sessionize_stream — per-user state in
+    applyInPandasWithState crossing micro-batch boundaries, idle
+    sessions flushed by EVENT-TIME timeout. A far-future sentinel user
+    in the final micro-batch advances the watermark so every real
+    session closes; the DuckDB oracle is the batch gap-and-island
+    sessionization, so a green row value-proves the custom stateful
+    operator end-to-end (the surface where round-4's review found the
+    silent-zero-match class of bug). The single-task orderBy/chunking
+    here is the REPLAY HARNESS, not the operator — at scale the stream
+    arrives from Kafka/files already in arrival order."""
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from entitymatch_spark.streaming.stateful import sessionize_stream
+
+    # exactness contract with epoch_us() in the oracle (package sessions
+    # already run UTC; the driver's session is pinned here defensively)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (
+        _t(spark, sf, "events")
+        .select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    n = ev.count()
+    # 3 time-ordered chunks -> 3 micro-batches (in-order arrival, so the
+    # stream's running-max `last` equals the batch lag(ts)); sentinel
+    # chunk last, 10 days past max(ts), to flush all real sessions
+    ranked = ev.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "user_id")) - 1
+    )
+    d = tempfile.mkdtemp(prefix="em_stream_sess_")
+    for i in range(3):
+        chunk = ranked.filter(
+            (F.col("_rn") >= i * n // 3) & (F.col("_rn") < (i + 1) * n // 3)
+        ).drop("_rn")
+        p = os.path.join(d, f"chunk-{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(p)
+    sentinel_ts = max_ts + datetime.timedelta(days=10)
+    spark.createDataFrame(
+        [(-1, sentinel_ts, 0.0)], "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "chunk-3"))
+    for i in range(4):  # FileStreamSource orders by mtime
+        root = Path(d) / f"chunk-{i}"
+        for f in root.rglob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/*")
+    )
+    out = _drain_stream_to_table(
+        spark,
+        sessionize_stream(stream, gap_minutes=30, watermark="2 hours"),
+        "stream_sess",
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total", 4).alias("total"),
+    )
+
+
+def q_stream_match(spark, sf):
+    """STANDING VALUE GATE for the streaming matcher: the held-out third
+    of the corpus (doc_id % 3 == 0) arrives as a real file stream and is
+    scored against the indexed two-thirds by streaming/incremental.py's
+    incremental_match — stream-side blocking keys (rare-token broadcast
+    membership + per-row MinHash band expressions), stream-static
+    equi-joins against the PURGED static key table, stateful pair dedup,
+    and the batch Arrow scorer. Portable md5/concat hashes so the DuckDB
+    oracle rebuilds the identical candidate set and 5-feature blend in
+    pure SQL under the STATIC-corpus IDF dictionary (unseen stream
+    tokens at the 1e-5 default — the coalesce in the oracle's w CTE)."""
+    import tempfile
+
+    from entitymatch_spark.operators.blocking import (
+        lsh_band_keys,
+        minhash_signature,
+        prune_oversized_blocks,
+        token_blocking_keys,
+    )
+    from entitymatch_spark.operators.posting import (
+        build_posting,
+        collect_idf_map,
+        token_idf,
+    )
+    from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
+    from entitymatch_spark.streaming.incremental import incremental_match
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"), F.col("text")
+    )
+    cfg = MatchConfig(
+        use_lsh=True, cache=False, id_col="url", text_col="text",
+        num_hashes=16, bands=4, rows_per_band=4,
+        minhash_token_hash="md5", lsh_band_hash="concat",
+    )
+    static_pages = pages.filter(F.col("url") % 3 != 0)
+    arrivals = pages.filter(F.col("url") % 3 == 0)
+    docs = prepare_docs(static_pages, cfg)
+    posting = build_posting(docs)
+    idf = token_idf(posting, n_docs=docs.count())
+    keys = token_blocking_keys(posting, idf, min_idf=cfg.min_idf).unionByName(
+        lsh_band_keys(
+            minhash_signature(
+                docs, num_hashes=cfg.num_hashes, seed=cfg.seed,
+                token_hash=cfg.minhash_token_hash,
+            ),
+            bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+            band_hash=cfg.lsh_band_hash,
+        )
+    )
+    keys = prune_oversized_blocks(keys, cfg.max_block)
+    d = tempfile.mkdtemp(prefix="em_stream_match_")
+    arrivals.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(arrivals.schema).parquet(d)
+    scored = incremental_match(
+        stream, docs, keys, idf, collect_idf_map(idf),
+        min_idf=cfg.min_idf, num_hashes=cfg.num_hashes, bands=cfg.bands,
+        rows_per_band=cfg.rows_per_band, seed=cfg.seed,
+        token_hash=cfg.minhash_token_hash, band_hash=cfg.lsh_band_hash,
+    )
+    out = _drain_stream_to_table(spark, scored, "stream_match")
+    # containment rounds at 6 (not 4) decimals: when every token of the
+    # smaller doc carries one idf value the ratio is an exact small
+    # dyadic rational (29/32 = 0.90625, ...) — a 4-decimal HALF tie that
+    # summation-order float noise tips differently per engine; at 6
+    # decimals those points are exactly representable, no tie
+    return out.select(
+        "id_a", "id_b",
+        F.round("cosine", 4).alias("cosine"),
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 4).alias("jaccard"),
+        F.round("lev_sim", 4).alias("lev_sim"),
+        F.round("jw", 4).alias("jw"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_rethreshold_clusters(spark, sf):
     """Post-hoc recalibration WITHOUT rescoring: the token-only
     pipeline runs at its calibrated threshold (0.60), then the stored
@@ -1433,79 +1601,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     qs = {
         # ORDERING CONTRACT: the driver verifies the FIRST ~50 entries
-        # per round. Round-4 rotation (VERDICT r3 ask #1): flagship
-        # pipeline first (always verified), then every query whose code
-        # CHANGED this round (quality rational threshold, decontam
-        # defaults, canonical_url guard, PHONE_RE recall), then the 27
-        # queries that got NO CORRECTNESS row in round 3 (they were
-        # double-green r1+r2 and rotated past the r3 cap), then the
-        # most load-bearing r3-green rows up to the cap. The ~27
-        # entries past the cap (from embed_hash down) are all r3
-        # hash-green and UNCHANGED this round — rotate them back into
-        # the top 50 in round 5 so every registry row is re-verified
-        # within two rounds.
+        # per round. Round-5 rotation (VERDICT r4 ask #1, final round):
+        # flagship pipeline first (always verified), then the queries
+        # that are NEW or CHANGED this round (the two streaming standing
+        # gates; curate_corpus whose oracle gained the explicit n>0
+        # guard; redact_pii which gained the custom_rules seam), then
+        # the 27 queries whose last driver row is r3 (rotated past the
+        # r4 cap, unchanged since), then the most load-bearing r4-green
+        # rows up to the cap. The ~29 entries past the cap are ALL
+        # r4 hash-green and unchanged this round, so at close every
+        # registry query has a green driver row in r4 ∪ r5 — no query's
+        # last driver verification is more than one round old.
         # ---- flagship (always verified) ----
         "match_clusters_token": q_match_clusters_token,
         "match_clusters_lsh": q_match_clusters_lsh,
         "match_clusters": q_match_clusters,
         "incremental_match": q_incremental_match,
-        # ---- CHANGED round 4 (must re-verify) ----
-        # rational quality threshold (no float-boundary dodging)
-        "quality_score": q_quality_score,
+        # ---- NEW round 5: streaming standing value gates ----
+        "stream_sessionize": q_stream_sessionize,
+        "stream_match": q_stream_match,
+        # ---- touched round 5 (oracle guard / extension seam) ----
         "curate_corpus": q_curate_corpus,
-        "domain_stats": q_domain_stats,
-        # decontam defaults: 13-gram literature convention; fuzzy
-        # bands=8 x rows=2 for real recall at jaccard ~0.5
-        "decontam_report": q_decontam_report,
-        "decontam_fuzzy": q_decontam_fuzzy,
-        # scheme-less URL guard
-        "latest_snapshot": q_latest_snapshot,
-        # PHONE_RE separator-required 7/8-digit recall + date adjacency
         "redact_pii": q_redact_pii,
-        # ---- no r3 row (rotated past the r3 cap) — rotate back in ----
-        "topk_spans": q_topk_spans,
-        "dedup_exact": q_dedup_exact,
-        "histogram_threshold": q_histogram_threshold,
-        "spelling_alternatives": q_spelling_alternatives,
-        "synonym_expand": q_synonym_expand,
-        "candidate_pairs_alt": q_candidate_pairs_alt,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "dedup_embedding": q_dedup_embedding,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "token_count_bpe": q_token_count_bpe,
-        "doc_fingerprint": q_doc_fingerprint,
-        "multi_pattern_first": q_multi_pattern_first,
-        "multi_pattern_count": q_multi_pattern_count,
-        "scan_documents": q_scan_documents,
-        "scan_dedup": q_scan_dedup,
-        "normalize_text": q_normalize_text,
-        "word_freq": q_word_freq,
-        "histogram_count": q_histogram_count,
-        "histogram_summary": q_histogram_summary,
-        "histogram_topn": q_histogram_topn,
-        "topk_per_group": q_topk_per_group,
-        "set_ops": q_set_ops,
-        "token_rejoin": q_token_rejoin,
-        "char_class_stats": q_char_class_stats,
-        # ---- r3-green core pipeline kept inside the cap (a round
-        # without a row on score_pairs would be a worse gap than one
-        # on media/json/rollup below) ----
-        "score_pairs": q_score_pairs,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "candidate_pairs": q_candidate_pairs,
-        "extend_spans": q_extend_spans,
-        "interpret_matches": q_interpret_matches,
-        "rethreshold_clusters": q_rethreshold_clusters,
-        "remove_docs": q_remove_docs,
-        "upsert_pages": q_upsert_pages,
-        "dedup_survivors": q_dedup_survivors,
-        "blocking_stats": q_blocking_stats,
-        "cluster_stats": q_cluster_stats,
-        "split_assign": q_split_assign,
-        "repetition_signals": q_repetition_signals,
-        # ---- tail (r3 hash-green, unchanged; rotate back in r5) ----
+        # ---- last driver row is r3 — rotate back inside the cap ----
         "embed_hash": q_embed_hash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1533,6 +1651,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_pattern_any": q_multi_pattern_any,
         "asof_events": q_asof_events,
         "cube_events": q_cube_events,
+        # ---- r4-green core pipeline kept inside the cap (a round
+        # without a row on score_pairs / the incremental lifecycle
+        # would be a worse gap than one on the scan/histogram tail) ----
+        "score_pairs": q_score_pairs,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "candidate_pairs": q_candidate_pairs,
+        "extend_spans": q_extend_spans,
+        "interpret_matches": q_interpret_matches,
+        "rethreshold_clusters": q_rethreshold_clusters,
+        "remove_docs": q_remove_docs,
+        "upsert_pages": q_upsert_pages,
+        "dedup_survivors": q_dedup_survivors,
+        "quality_score": q_quality_score,
+        "latest_snapshot": q_latest_snapshot,
+        "decontam_report": q_decontam_report,
+        "decontam_fuzzy": q_decontam_fuzzy,
+        "split_assign": q_split_assign,
+        "blocking_stats": q_blocking_stats,
+        # ---- tail (ALL r4 hash-green, unchanged this round) ----
+        "domain_stats": q_domain_stats,
+        "topk_spans": q_topk_spans,
+        "dedup_exact": q_dedup_exact,
+        "histogram_threshold": q_histogram_threshold,
+        "spelling_alternatives": q_spelling_alternatives,
+        "synonym_expand": q_synonym_expand,
+        "candidate_pairs_alt": q_candidate_pairs_alt,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_embedding": q_dedup_embedding,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multi_pattern_first": q_multi_pattern_first,
+        "multi_pattern_count": q_multi_pattern_count,
+        "scan_documents": q_scan_documents,
+        "scan_dedup": q_scan_dedup,
+        "normalize_text": q_normalize_text,
+        "word_freq": q_word_freq,
+        "histogram_count": q_histogram_count,
+        "histogram_summary": q_histogram_summary,
+        "histogram_topn": q_histogram_topn,
+        "topk_per_group": q_topk_per_group,
+        "set_ops": q_set_ops,
+        "token_rejoin": q_token_rejoin,
+        "char_class_stats": q_char_class_stats,
+        "cluster_stats": q_cluster_stats,
+        "repetition_signals": q_repetition_signals,
     }
     return {k: wrap(v) for k, v in qs.items()}
 
@@ -2523,6 +2689,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS total
             FROM s GROUP BY 1, 2
         """,
+        # streaming standing gate #1: the stateful sessionizer replayed
+        # over a real file stream must equal BATCH gap-and-island
+        # sessionization (in-order replay, sentinel-flushed timeouts)
+        "stream_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM g)
+            SELECT user_id, epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   count(*) AS n_events, round(sum(value), 4) AS total
+            FROM s GROUP BY user_id, session_idx
+        """,
         "pivot_events": """
             SELECT user_id,
                    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
@@ -2638,6 +2824,80 @@ def oracle_sql() -> dict[str, str]:
             keys AS (SELECT doc_id, key FROM tokkeys
                      UNION ALL SELECT doc_id, key FROM lshkeys)"""
         ),
+        # streaming standing gate #2: stream-vs-static scoring. The
+        # candidate set (static-dictionary rare-token keys UNION
+        # md5/concat MinHash bands, purge at STATIC block sizes, new x
+        # indexed only) and the 5-feature blend are rebuilt in pure SQL
+        # under the STATIC-corpus IDF; stream tokens absent from that
+        # dictionary score at the 1e-5 default (the coalesce in w).
+        "stream_match": f"""
+            WITH toksall AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+            pos AS (SELECT doc_id, unnest(tk) AS token FROM toksall),
+            sidf AS (
+              SELECT token, count(*) AS df,
+                     greatest(ln(greatest(
+                       (((SELECT count(*) FROM documents WHERE doc_id % 3 != 0)
+                         + 0.5 - count(*)) / (count(*) + 0.5)), 1e-12)),
+                       0.00001) AS idf
+              FROM pos WHERE doc_id % 3 != 0 GROUP BY token),
+            tokkeys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
+                        FROM pos p JOIN sidf i USING (token)
+                        WHERE i.idf >= 1.0),
+            mdist AS (SELECT DISTINCT doc_id, token FROM pos),
+            mh AS (SELECT doc_id,
+                          ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hv
+                   FROM mdist),
+            sig AS (SELECT doc_id, {mh_sig_cols} FROM mh GROUP BY doc_id),
+            lshkeys AS ({mh_band_selects}),
+            keys AS (SELECT doc_id, key FROM tokkeys
+                     UNION ALL SELECT doc_id, key FROM lshkeys),
+            skeys AS (SELECT doc_id, key FROM keys WHERE doc_id % 3 != 0),
+            okk AS (SELECT key FROM skeys GROUP BY key HAVING count(*) <= 64),
+            kept AS (SELECT k.doc_id, k.key FROM skeys k JOIN okk USING (key)),
+            nkeys AS (SELECT doc_id, key FROM keys WHERE doc_id % 3 = 0),
+            cand AS (SELECT n.doc_id AS id_a, k.doc_id AS id_b
+                     FROM nkeys n JOIN kept k USING (key)
+                     WHERE n.doc_id != k.doc_id GROUP BY 1, 2),
+            d AS (SELECT doc_id, {NORM} AS norm, {TOKS} AS tk FROM documents),
+            w AS (SELECT p.doc_id, p.token, count(*) AS cnt,
+                         count(*) * coalesce(any_value(i.idf), 0.00001) AS w,
+                         coalesce(any_value(i.idf), 0.00001) AS idf
+                  FROM pos p LEFT JOIN sidf i USING (token)
+                  GROUP BY p.doc_id, p.token),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm, sum(w) AS total
+                    FROM w GROUP BY 1),
+            shr AS (SELECT c.id_a, c.id_b, sum(x.w * y.w) AS dot,
+                           sum(least(x.cnt, y.cnt) * x.idf) AS sh
+                    FROM cand c JOIN w x ON x.doc_id = c.id_a
+                    JOIN w y ON y.doc_id = c.id_b AND y.token = x.token
+                    GROUP BY 1, 2),
+            feat AS (SELECT c.id_a, c.id_b,
+                coalesce(s.dot, 0.0) / (na.nrm * nb.nrm) AS cosine,
+                coalesce(s.sh, 0.0) / least(na.total, nb.total) AS containment,
+                CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) = 0 THEN 0.0
+                     ELSE len(list_intersect(list_distinct(a.tk), list_distinct(b.tk)))
+                          / len(list_distinct(list_concat(a.tk, b.tk))) END AS jaccard,
+                CASE WHEN greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) = 0 THEN 1.0
+                     WHEN levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128)) > 32 THEN 0.0
+                     ELSE 1.0 - levenshtein(substr(a.norm, 1, 128), substr(b.norm, 1, 128))
+                          / greatest(length(substr(a.norm, 1, 128)), length(substr(b.norm, 1, 128))) END AS lev_sim,
+                jaro_winkler_similarity(substr(a.norm, 1, 256), substr(b.norm, 1, 256)) AS jw
+              FROM cand c JOIN d a ON a.doc_id = c.id_a JOIN d b ON b.doc_id = c.id_b
+              LEFT JOIN shr s ON s.id_a = c.id_a AND s.id_b = c.id_b
+              JOIN nrm na ON na.doc_id = c.id_a JOIN nrm nb ON nb.doc_id = c.id_b)
+            SELECT id_a, id_b,
+                   round(cosine, 4) AS cosine,
+                   -- 6 decimals: all-one-idf docs make containment an
+                   -- exact dyadic m/32 — a 4-decimal half tie that float
+                   -- noise tips differently per engine (see q_stream_match)
+                   round(containment, 6) AS containment,
+                   round(jaccard, 4) AS jaccard,
+                   round(lev_sim, 4) AS lev_sim,
+                   round(jw, 4) AS jw,
+                   round(0.35 * cosine + 0.20 * jw + 0.15 * lev_sim
+                         + 0.15 * jaccard + 0.15 * containment, 4) AS score
+            FROM feat
+        """,
         "blocking_stats": f"""
             WITH {POS_CTE}, {IDF_CTE},
             tokkeys AS (SELECT DISTINCT p.doc_id, 'tok:' || p.token AS key
