@@ -1,0 +1,50 @@
+"""Public API surface: the curated top-level re-exports and the README
+quickstart, executed VERBATIM from README.md — a ten-line user program
+must need no deep imports (VERDICT r4 ask #5)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+README = Path(__file__).resolve().parent.parent / "README.md"
+
+
+def _quickstart_block() -> str:
+    text = README.read_text()
+    m = re.search(r"## Quickstart.*?```python\n(.*?)```", text, re.S)
+    assert m, "README.md must keep a ## Quickstart python block"
+    return m.group(1)
+
+
+def test_readme_quickstart_runs_verbatim(spark):
+    """Exec the README quickstart exactly as printed. em.get_spark()
+    getOrCreate()-reuses the test session, so this stays in-process."""
+    ns: dict = {}
+    exec(compile(_quickstart_block(), str(README), "exec"), ns)  # noqa: S102
+    # the quickstart's own artifacts prove the surface end-to-end
+    assert ns["n_groups"] == 3  # docs 0+1 merge; 2 and 3 stand alone
+    clusters = {r["doc_id"]: r["cluster_id"] for r in ns["clusters"].collect()}
+    assert clusters[0] == clusters[1] != clusters[2]
+    kept_ids = {r["doc_id"] for r in ns["kept"].collect()}
+    assert kept_ids and kept_ids <= {0, 1, 2, 3}
+    scrub = {r["doc_id"]: r for r in ns["scrubbed"].collect()}
+    assert scrub[3]["n_email"] == 1 and scrub[3]["n_phone"] == 1
+    assert "<EMAIL>" in scrub[3]["redacted"]
+    grown = ns["grown"]
+    assert grown.state.clusters.count() == 4
+
+
+def test_all_exports_resolve_and_are_importable():
+    import entitymatch_spark as em
+
+    missing = [n for n in em.__all__ if not hasattr(em, n)]
+    assert not missing, missing
+    # the headline surface the README advertises
+    for name in (
+        "match_pipeline", "MatchConfig", "curate", "redact_pii",
+        "initial_state", "incremental_match", "rethreshold", "remove_docs",
+        "upsert_pages", "latest_snapshot", "connected_components",
+        "score_pairs", "sessionize_stream", "split_assign",
+    ):
+        assert name in em.__all__, name
