@@ -1326,6 +1326,7 @@ def q_stream_sessionize(spark, sf):
     arrives from Kafka/files already in arrival order."""
     import datetime
     import os
+    import shutil
     import tempfile
 
     from pyspark.sql import Window
@@ -1341,8 +1342,14 @@ def q_stream_sessionize(spark, sf):
             "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
         )
     )
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    n = ev.count()
+    agg = ev.agg(
+        F.max("ts").alias("mx"), F.max("user_id").alias("mu"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    max_ts, n = agg["mx"], agg["n"]
+    # sentinel user = max(user_id)+1: fixture-proof (never collides with
+    # a real user, whatever id range the table uses)
+    sentinel_uid = int(agg["mu"]) + 1
     # 3 time-ordered chunks -> 3 micro-batches (in-order arrival, so the
     # stream's running-max `last` equals the batch lag(ts)); sentinel
     # chunk last, 10 days past max(ts), to flush all real sessions
@@ -1350,31 +1357,37 @@ def q_stream_sessionize(spark, sf):
         "_rn", F.row_number().over(Window.orderBy("ts", "user_id")) - 1
     )
     d = tempfile.mkdtemp(prefix="em_stream_sess_")
-    for i in range(3):
-        chunk = ranked.filter(
-            (F.col("_rn") >= i * n // 3) & (F.col("_rn") < (i + 1) * n // 3)
-        ).drop("_rn")
-        p = os.path.join(d, f"chunk-{i}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(p)
-    sentinel_ts = max_ts + datetime.timedelta(days=10)
-    spark.createDataFrame(
-        [(-1, sentinel_ts, 0.0)], "user_id long, ts timestamp, value double"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "chunk-3"))
-    for i in range(4):  # FileStreamSource orders by mtime
-        root = Path(d) / f"chunk-{i}"
-        for f in root.rglob("*.parquet"):
-            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
-    stream = (
-        spark.readStream.schema("user_id long, ts timestamp, value double")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(d + "/*")
-    )
-    out = _drain_stream_to_table(
-        spark,
-        sessionize_stream(stream, gap_minutes=30, watermark="2 hours"),
-        "stream_sess",
-    )
-    return out.filter(F.col("user_id") >= 0).select(
+    try:
+        for i in range(3):
+            chunk = ranked.filter(
+                (F.col("_rn") >= i * n // 3) & (F.col("_rn") < (i + 1) * n // 3)
+            ).drop("_rn")
+            p = os.path.join(d, f"chunk-{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(p)
+        sentinel_ts = max_ts + datetime.timedelta(days=10)
+        spark.createDataFrame(
+            [(sentinel_uid, sentinel_ts, 0.0)],
+            "user_id long, ts timestamp, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "chunk-3"))
+        for i in range(4):  # FileStreamSource orders by mtime
+            root = Path(d) / f"chunk-{i}"
+            for f in root.rglob("*.parquet"):
+                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/*")
+        )
+        out = _drain_stream_to_table(
+            spark,
+            sessionize_stream(stream, gap_minutes=30, watermark="2 hours"),
+            "stream_sess",
+        )
+    finally:
+        # the memory sink holds the rows in the driver; the replay files
+        # are consumed — don't leak a corpus copy per verification run
+        shutil.rmtree(d, ignore_errors=True)
+    return out.filter(F.col("user_id") != sentinel_uid).select(
         "user_id",
         F.unix_micros("session_start").alias("start_us"),
         F.unix_micros("session_end").alias("end_us"),
@@ -1394,6 +1407,7 @@ def q_stream_match(spark, sf):
     oracle rebuilds the identical candidate set and 5-feature blend in
     pure SQL under the STATIC-corpus IDF dictionary (unseen stream
     tokens at the 1e-5 default — the coalesce in the oracle's w CTE)."""
+    import shutil
     import tempfile
 
     from entitymatch_spark.operators.blocking import (
@@ -1436,15 +1450,18 @@ def q_stream_match(spark, sf):
     )
     keys = prune_oversized_blocks(keys, cfg.max_block)
     d = tempfile.mkdtemp(prefix="em_stream_match_")
-    arrivals.write.mode("overwrite").parquet(d)
-    stream = spark.readStream.schema(arrivals.schema).parquet(d)
-    scored = incremental_match(
-        stream, docs, keys, idf, collect_idf_map(idf),
-        min_idf=cfg.min_idf, num_hashes=cfg.num_hashes, bands=cfg.bands,
-        rows_per_band=cfg.rows_per_band, seed=cfg.seed,
-        token_hash=cfg.minhash_token_hash, band_hash=cfg.lsh_band_hash,
-    )
-    out = _drain_stream_to_table(spark, scored, "stream_match")
+    try:
+        arrivals.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(arrivals.schema).parquet(d)
+        scored = incremental_match(
+            stream, docs, keys, idf, collect_idf_map(idf),
+            min_idf=cfg.min_idf, num_hashes=cfg.num_hashes, bands=cfg.bands,
+            rows_per_band=cfg.rows_per_band, seed=cfg.seed,
+            token_hash=cfg.minhash_token_hash, band_hash=cfg.lsh_band_hash,
+        )
+        out = _drain_stream_to_table(spark, scored, "stream_match")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)  # rows live in the memory sink
     # containment rounds at 6 (not 4) decimals: when every token of the
     # smaller doc carries one idf value the ratio is an exact small
     # dyadic rational (29/32 = 0.90625, ...) — a 4-decimal HALF tie that

@@ -364,7 +364,7 @@ def verify_token_jaccard(
     pairs: DataFrame,
     docs_a: DataFrame,
     docs_b: DataFrame | None = None,
-    threshold: tuple[int, int] = (1, 2),
+    threshold: tuple[int, int] | float = (1, 2),
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     left_col: str = "id_a",
@@ -381,7 +381,9 @@ def verify_token_jaccard(
     ``docs_b`` defaults to ``docs_a`` (self-join dedup);
     ``broadcast_right`` for the cross-set case where the right side is
     tiny (an eval benchmark). Original pair columns pass through."""
-    num, den = threshold
+    from entitymatch_spark.operators.textstats import coerce_rational
+
+    num, den = coerce_rational(threshold, "verify_token_jaccard threshold")
     ts = F.array_distinct(tokens_col)
     a = docs_a.select(F.col(id_col).alias(left_col), ts.alias("_ts_a"))
     b = (docs_b if docs_b is not None else docs_a).select(

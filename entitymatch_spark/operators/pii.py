@@ -92,8 +92,13 @@ def redact_pii(
     counts = []
     for name, pattern, token in rules:
         out = out.withColumn(f"n_{name}", _count("redacted", pattern))
+        # Java replacement-string semantics make '$' and '\' special
+        # (group refs / escapes): quote them so a literal placeholder
+        # like '$PRICE' masks instead of throwing IllegalArgumentException
+        # mid-task (no-op for the built-in <...> tokens)
+        literal_token = token.replace("\\", "\\\\").replace("$", "\\$")
         out = out.withColumn(
-            "redacted", F.regexp_replace("redacted", pattern, token)
+            "redacted", F.regexp_replace("redacted", pattern, literal_token)
         )
         counts.append(f"n_{name}")
     return out.select(id_col, "redacted", *[F.col(c).cast("long") for c in counts])

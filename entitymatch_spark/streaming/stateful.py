@@ -15,6 +15,13 @@ encoding stays trivial and versioned. Emitted rows are closed sessions
 only (append mode): exactly the contract a downstream Iceberg sink
 wants, since closed sessions are immutable.
 
+MIGRATION NOTE (state semantics, 2026-08-19): state micros are TRUE
+EPOCH since this revision; earlier revisions stored session-tz
+wall-clock micros. The two are identical under UTC sessions (this
+engine's default, session.py), but a long-running NON-UTC job resuming
+a pre-revision checkpoint would misread its open sessions by the tz
+offset — restart such streams from a fresh checkpoint.
+
 The reference has no streaming; this is the Spark-native analog of its
 incremental-state patterns (per-character autocomplete state,
 ref: EditTrie/Trie.cs:221-282, carried across calls).

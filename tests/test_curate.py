@@ -125,3 +125,25 @@ def test_quality_at_least_float_threshold_matches_rational(spark):
     got_a = {r["doc_id"] for r in a.collect()}
     got_b = {r["doc_id"] for r in b.collect()}
     assert got_a == got_b and 0 < len(got_a) < 40
+
+
+def test_verify_token_jaccard_accepts_legacy_float(spark):
+    """verify_token_jaccard is the other integer gate coerce_rational
+    names — a legacy float threshold must coerce, matching the exact
+    rational form row-for-row."""
+    from entitymatch_spark.functions.text import tokenize
+    from entitymatch_spark.operators.dedup import verify_token_jaccard
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma zeta"),
+         (2, "one two three four")],
+        "doc_id long, text string",
+    ).withColumn("tokens", tokenize("text"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], "id_a long, id_b long"
+    )
+    got_f = {(r["id_a"], r["id_b"])
+             for r in verify_token_jaccard(pairs, docs, threshold=0.5).collect()}
+    got_r = {(r["id_a"], r["id_b"])
+             for r in verify_token_jaccard(pairs, docs, threshold=(1, 2)).collect()}
+    assert got_f == got_r == {(0, 1)}  # jaccard 3/5 >= 1/2; 0/8 fails

@@ -201,3 +201,26 @@ def test_redact_pii_custom_rules_mask_and_audit(spark):
     ]
     with pytest.raises(ValueError, match="duplicate"):
         redact_pii(docs, custom_rules=[("email", r"x", "<X>")])
+
+
+def test_redact_pii_dollar_placeholder_is_literal(spark):
+    """Java replacement semantics make '$'/'\\' special in
+    regexp_replace; a custom placeholder like '$PRICE' must mask
+    literally, not throw an illegal-group-reference error or
+    re-insert matched text via $0."""
+    from entitymatch_spark.operators.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [(0, "costs 12.50 total"), (1, "id X99 here")],
+        "doc_id long, text string",
+    )
+    out = redact_pii(
+        docs,
+        custom_rules=[
+            ("price", r"\b\d+\.\d\d\b", "$PRICE"),
+            ("code", r"\bX\d\d\b", "a$0b\\c"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["redacted"] == "costs $PRICE total"
+    assert rows[1]["redacted"] == "id a$0b\\c here"
