@@ -1306,11 +1306,39 @@ def _drain_stream_to_table(spark, out_df, prefix: str) -> DataFrame:
         .outputMode("append")
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        # stop on the failure path too — otherwise the caller's cleanup
+        # rmtree()s the replay dir under a still-live stream and the
+        # secondary FileNotFound errors mask the root cause
+        q.stop()
     return spark.table(name)
 
 
+def _pinned_utc(fn):
+    """Run the gate with spark.sql.session.timeZone pinned to UTC and
+    RESTORE the caller's value on exit (don't leak the pin into every
+    query ordered after this one). Safe to restore at return: all the
+    tz-sensitive work (string->timestamp casts, sessionize state
+    arithmetic, the oracle's epoch agreement) materializes INSIDE the
+    call via the memory-sink drain, and the returned DataFrame applies
+    only tz-independent ops (unix_micros, round, int filters)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf):
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            return fn(spark, sf)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+    return wrapper
+
+
+@_pinned_utc
 def q_stream_sessionize(spark, sf):
     """STANDING VALUE GATE for the stateful streaming layer: the events
     table replayed as a REAL file stream (3 time-ordered micro-batches,
@@ -1334,12 +1362,14 @@ def q_stream_sessionize(spark, sf):
     from entitymatch_spark.streaming.stateful import sessionize_stream
 
     # exactness contract with epoch_us() in the oracle (package sessions
-    # already run UTC; the driver's session is pinned here defensively)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # already run UTC; the driver's session is pinned by @_pinned_utc)
     ev = (
         _t(spark, sf, "events")
         .select(
-            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
         )
     )
     agg = ev.agg(
@@ -1353,9 +1383,16 @@ def q_stream_sessionize(spark, sf):
     # 3 time-ordered chunks -> 3 micro-batches (in-order arrival, so the
     # stream's running-max `last` equals the batch lag(ts)); sentinel
     # chunk last, 10 days past max(ts), to flush all real sessions
+    # event_id makes the sort key UNIQUE: each chunk write is its own
+    # job re-evaluating this window, and row_number over a tied key
+    # could rank differently per job — duplicating or dropping the tied
+    # row at a chunk boundary. A total order makes every re-evaluation
+    # identical. (In-order arrival only needs ts-major order; the
+    # within-ts tiebreak is free to be anything deterministic.)
     ranked = ev.withColumn(
-        "_rn", F.row_number().over(Window.orderBy("ts", "user_id")) - 1
-    )
+        "_rn",
+        F.row_number().over(Window.orderBy("ts", "user_id", "event_id")) - 1,
+    ).drop("event_id")
     d = tempfile.mkdtemp(prefix="em_stream_sess_")
     try:
         for i in range(3):
@@ -1392,10 +1429,16 @@ def q_stream_sessionize(spark, sf):
         F.unix_micros("session_start").alias("start_us"),
         F.unix_micros("session_end").alias("end_us"),
         F.col("n_events").cast("long").alias("n_events"),
+        # 4 decimals is tie-safe HERE (unlike stream_match's containment,
+        # which needed 6): event values are 2-decimal, so a session's
+        # TRUE total is a 2-decimal number — at least 5e-5 from any
+        # 4-decimal rounding boundary, vs ~1e-12 of summation-order
+        # float noise between the stream's running sum and the oracle's
         F.round("total", 4).alias("total"),
     )
 
 
+@_pinned_utc
 def q_stream_match(spark, sf):
     """STANDING VALUE GATE for the streaming matcher: the held-out third
     of the corpus (doc_id % 3 == 0) arrives as a real file stream and is
@@ -1424,7 +1467,6 @@ def q_stream_match(spark, sf):
     from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
     from entitymatch_spark.streaming.incremental import incremental_match
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     pages = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("url"), F.col("text")
     )

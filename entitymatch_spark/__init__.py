@@ -30,98 +30,74 @@ from __future__ import annotations
 
 __version__ = "0.1.0"
 
-# session
-from entitymatch_spark.session import ensure_workers_can_import, get_spark
-
-# flagship match pipeline
-from entitymatch_spark.plans.pipeline import (
-    MatchConfig,
-    MatchResult,
-    match_pipeline,
-    prepare_docs,
-)
-from entitymatch_spark.operators.scoring import score_pairs
-from entitymatch_spark.operators.clustering import (
-    assign_clusters,
-    connected_components,
-)
-
-# incremental lifecycle (grow / recalibrate / delete / upsert / persist)
-from entitymatch_spark.plans.incremental import (
-    IncrementalResult,
-    MatchState,
-    commit_increment,
-    incremental_match,
-    initial_state,
-    load_state,
-    remove_docs,
-    rethreshold,
-    save_state,
-    upsert_pages,
-)
-
-# corpus curation / training-data hygiene
-from entitymatch_spark.plans.curate import CurateConfig, curate, split_assign
-from entitymatch_spark.operators.decontam import (
-    contamination_report,
-    decontaminate,
-    fuzzy_contamination_report,
-)
-from entitymatch_spark.operators.dedup import dedup_survivors, exact_dedup
-from entitymatch_spark.operators.pii import redact_pii
-from entitymatch_spark.operators.urlnorm import canonical_url, latest_snapshot
-from entitymatch_spark.operators.textstats import (
-    lang_id,
-    quality_at_least,
-    quality_score,
-    repetition_signals,
-    token_count,
-)
-
-# streaming
-from entitymatch_spark.streaming.stateful import sessionize_stream
-
-__all__ = [
-    "__version__",
+# Re-exports are LAZY (PEP 562): `import entitymatch_spark` executes in
+# microseconds and pulls in nothing beyond this file. This matters twice
+# at scale: (a) every executor python worker that unpickles a UDF closure
+# imports the defining module, which executes this package __init__ — an
+# eager import block would drag pandas + the whole operator surface into
+# every task slot's worker for imports most jobs never touch; (b) a
+# JVM-only caller (pure column operators, no Arrow stage) never pays the
+# pandas import at all. Attribute access resolves through __getattr__
+# below and is cached in globals() so the cost is once per process.
+_EXPORTS = {
     # session
-    "get_spark",
-    "ensure_workers_can_import",
-    # match pipeline
-    "MatchConfig",
-    "MatchResult",
-    "match_pipeline",
-    "prepare_docs",
-    "score_pairs",
-    "connected_components",
-    "assign_clusters",
-    # incremental lifecycle
-    "MatchState",
-    "IncrementalResult",
-    "initial_state",
-    "incremental_match",
-    "rethreshold",
-    "remove_docs",
-    "upsert_pages",
-    "save_state",
-    "load_state",
-    "commit_increment",
-    # curation
-    "CurateConfig",
-    "curate",
-    "split_assign",
-    "contamination_report",
-    "fuzzy_contamination_report",
-    "decontaminate",
-    "exact_dedup",
-    "dedup_survivors",
-    "redact_pii",
-    "canonical_url",
-    "latest_snapshot",
-    "quality_score",
-    "quality_at_least",
-    "lang_id",
-    "token_count",
-    "repetition_signals",
+    "get_spark": "entitymatch_spark.session",
+    "ensure_workers_can_import": "entitymatch_spark.session",
+    # flagship match pipeline
+    "MatchConfig": "entitymatch_spark.plans.pipeline",
+    "MatchResult": "entitymatch_spark.plans.pipeline",
+    "match_pipeline": "entitymatch_spark.plans.pipeline",
+    "prepare_docs": "entitymatch_spark.plans.pipeline",
+    "score_pairs": "entitymatch_spark.operators.scoring",
+    "connected_components": "entitymatch_spark.operators.clustering",
+    "assign_clusters": "entitymatch_spark.operators.clustering",
+    # incremental lifecycle (grow / recalibrate / delete / upsert / persist)
+    "MatchState": "entitymatch_spark.plans.incremental",
+    "IncrementalResult": "entitymatch_spark.plans.incremental",
+    "initial_state": "entitymatch_spark.plans.incremental",
+    "incremental_match": "entitymatch_spark.plans.incremental",
+    "rethreshold": "entitymatch_spark.plans.incremental",
+    "remove_docs": "entitymatch_spark.plans.incremental",
+    "upsert_pages": "entitymatch_spark.plans.incremental",
+    "save_state": "entitymatch_spark.plans.incremental",
+    "load_state": "entitymatch_spark.plans.incremental",
+    "commit_increment": "entitymatch_spark.plans.incremental",
+    # corpus curation / training-data hygiene
+    "CurateConfig": "entitymatch_spark.plans.curate",
+    "curate": "entitymatch_spark.plans.curate",
+    "split_assign": "entitymatch_spark.plans.curate",
+    "contamination_report": "entitymatch_spark.operators.decontam",
+    "fuzzy_contamination_report": "entitymatch_spark.operators.decontam",
+    "decontaminate": "entitymatch_spark.operators.decontam",
+    "exact_dedup": "entitymatch_spark.operators.dedup",
+    "dedup_survivors": "entitymatch_spark.operators.dedup",
+    "redact_pii": "entitymatch_spark.operators.pii",
+    "canonical_url": "entitymatch_spark.operators.urlnorm",
+    "latest_snapshot": "entitymatch_spark.operators.urlnorm",
+    "quality_score": "entitymatch_spark.operators.textstats",
+    "quality_at_least": "entitymatch_spark.operators.textstats",
+    "lang_id": "entitymatch_spark.operators.textstats",
+    "token_count": "entitymatch_spark.operators.textstats",
+    "repetition_signals": "entitymatch_spark.operators.textstats",
     # streaming
-    "sessionize_stream",
-]
+    "sessionize_stream": "entitymatch_spark.streaming.stateful",
+}
+
+__all__ = ["__version__", *_EXPORTS]
+
+
+def __getattr__(name: str):
+    module = _EXPORTS.get(name)
+    if module is None:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        )
+    import importlib
+
+    obj = getattr(importlib.import_module(module), name)
+    globals()[name] = obj
+    return obj
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))

@@ -108,10 +108,23 @@ def coerce_rational(threshold, what: str = "quality threshold") -> tuple[int, in
     unpacking TypeError deep inside the gate."""
     from fractions import Fraction
 
+    import math
+
     if isinstance(threshold, bool):
         raise TypeError(f"{what} must be (num, den) ints or a number, got bool")
     if isinstance(threshold, (int, float)):
+        if not math.isfinite(threshold):
+            raise TypeError(f"{what} must be finite, got {threshold!r}")
         fr = Fraction(threshold).limit_denominator(10_000)
+        # limit_denominator recovers the decimal the caller typed
+        # (0.62 -> 31/50) but SNAPS anything needing a denominator past
+        # 10_000 (e.g. 1e-5 -> 0/1, which would turn a small positive
+        # floor into "keep everything"). Refuse the silent change.
+        if abs(float(fr) - threshold) > 1e-9 * max(1.0, abs(threshold)):
+            raise ValueError(
+                f"{what}={threshold!r} is not representable with "
+                f"denominator <= 10000; pass an exact (num, den) pair"
+            )
         return fr.numerator, fr.denominator
     try:
         qnum, qden = threshold

@@ -108,6 +108,20 @@ def test_curate_config_accepts_legacy_float_threshold(spark):
         CurateConfig(quality_min="0.62")
     with pytest.raises(TypeError, match="den > 0"):
         CurateConfig(quality_min=(1, 0))
+    # floats needing denominator > 10000 must ERROR, not silently snap
+    # (1e-5 used to coerce to 0/1 — "keep everything")
+    with pytest.raises(ValueError, match="denominator"):
+        coerce_rational(1e-5)
+    with pytest.raises(ValueError, match="denominator"):
+        coerce_rational(0.123456)
+    # non-finite floats get the contract TypeError, not a Fraction
+    # internals error
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(TypeError, match="finite"):
+            coerce_rational(bad)
+    # exact zero and representable decimals still coerce
+    assert coerce_rational(0.0) == (0, 1)
+    assert coerce_rational(0.0001) == (1, 10000)
 
 
 def test_quality_at_least_float_threshold_matches_rational(spark):

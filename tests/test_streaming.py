@@ -396,3 +396,29 @@ def test_stateful_sessionize_dst_uses_epoch_arithmetic(spark, tmp_path):
         assert int(r["session_end"].timestamp()) == t2
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_stream_gates_pin_utc_and_restore(spark):
+    """The registry's streaming gates run under @_pinned_utc: the
+    computation is pinned to UTC (the oracle's epoch contract) but the
+    CALLER's session timezone must come back — a leaked pin would make
+    every timestamp-rendering query ordered after the gates
+    order-dependent within one verification run. Values must also be
+    identical whatever tz the caller had (unix_micros output)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    q = entry.queries()["stream_sessionize"]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rows_ny = sorted(map(tuple, q(spark, sf).collect()))
+        assert (
+            spark.conf.get("spark.sql.session.timeZone")
+            == "America/New_York"
+        ), "gate leaked its UTC pin into the caller's session"
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        rows_utc = sorted(map(tuple, q(spark, sf).collect()))
+        assert rows_ny == rows_utc and len(rows_utc) > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
