@@ -86,18 +86,29 @@ _EXPORTS = {
 __all__ = ["__version__", *_EXPORTS]
 
 
+# Subpackages reachable as attributes too (`em.operators.dedup`), as
+# they were when the eager import block bound them as a side effect.
+_SUBMODULES = frozenset(
+    {"functions", "operators", "plans", "session", "sources", "streaming"}
+)
+
+
 def __getattr__(name: str):
+    import importlib
+
+    if name in _SUBMODULES:
+        mod = importlib.import_module(f"{__name__}.{name}")
+        globals()[name] = mod
+        return mod
     module = _EXPORTS.get(name)
     if module is None:
         raise AttributeError(
             f"module {__name__!r} has no attribute {name!r}"
         )
-    import importlib
-
     obj = getattr(importlib.import_module(module), name)
     globals()[name] = obj
     return obj
 
 
 def __dir__():
-    return sorted(set(globals()) | set(_EXPORTS))
+    return sorted(set(globals()) | set(_EXPORTS) | set(_SUBMODULES))

@@ -48,3 +48,27 @@ def test_all_exports_resolve_and_are_importable():
         "score_pairs", "sessionize_stream", "split_assign",
     ):
         assert name in em.__all__, name
+
+
+def test_package_import_is_lazy():
+    """`import entitymatch_spark` must stay near-free: every executor
+    python worker that unpickles a UDF closure executes this package
+    __init__, so an eager import block would drag pandas + the whole
+    operator surface into every task slot. Run the probe in a CLEAN
+    interpreter — this test process has long since imported both."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "import entitymatch_spark as em\n"
+        "assert 'pandas' not in sys.modules, 'pandas imported eagerly'\n"
+        "assert not any(m.startswith('entitymatch_spark.') "
+        "for m in sys.modules), 'submodules imported eagerly'\n"
+        "em.operators  # subpackages resolve as attributes\n"
+        "em.MatchConfig  # exports resolve on first touch\n"
+        "assert 'entitymatch_spark.plans.pipeline' in sys.modules\n"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, cwd="/root/repo"
+    )
