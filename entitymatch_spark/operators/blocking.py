@@ -37,6 +37,27 @@ from pyspark.sql import functions as F
 MERSENNE_31 = (1 << 31) - 1
 
 
+def token_key_expr(token) -> "F.Column":
+    """The canonical token blocking key: ``tok:<token>``. ONE place
+    defines the format — the batch key builders below and the
+    streaming matcher's per-row key construction must emit identical
+    strings or stream keys silently stop equaling indexed keys."""
+    return F.concat(F.lit("tok:"), token)
+
+
+def _check_band_geometry(bands: int, rows_per_band: int, sig_len: int | None) -> None:
+    """Fail fast when the band layout overruns the signature: bands
+    past the end slice empty arrays, so every doc collides on ONE
+    constant key per out-of-range band — a massive skewed block that
+    the purge then drops, silently zeroing those bands' recall."""
+    if sig_len is not None and bands * rows_per_band > sig_len:
+        raise ValueError(
+            f"bands*rows_per_band = {bands}*{rows_per_band} = "
+            f"{bands * rows_per_band} exceeds the signature length "
+            f"{sig_len}; raise num_hashes or lower bands/rows_per_band"
+        )
+
+
 def token_blocking_keys(
     posting: DataFrame,
     idf: DataFrame,
@@ -55,7 +76,7 @@ def token_blocking_keys(
     rare = idf.filter(F.col("idf") >= min_idf).select("token")
     return (
         posting.join(F.broadcast(rare), "token")
-        .select(id_col, F.concat(F.lit("tok:"), F.col("token")).alias("key"))
+        .select(id_col, token_key_expr(F.col("token")).alias("key"))
         .distinct()
     )
 
@@ -83,7 +104,7 @@ def token_blocking_keys_from_docs(
             F.col(id_col), F.explode(F.array_distinct(tokens_col)).alias("token")
         )
         .join(F.broadcast(rare), "token")
-        .select(id_col, F.concat(F.lit("tok:"), F.col("token")).alias("key"))
+        .select(id_col, token_key_expr(F.col("token")).alias("key"))
     )
 
 
@@ -160,6 +181,7 @@ def lsh_band_keys_expr(
     bands: int = 16,
     rows_per_band: int = 4,
     band_hash: str = "xxhash64",
+    sig_len: int | None = None,
 ):
     """Band-key array (array<string>) from a signature column — one key
     per band, empty array for a null signature. Column expression form
@@ -168,7 +190,13 @@ def lsh_band_keys_expr(
     band_hash: 'xxhash64' folds each band slice to one long (compact
     shuffle keys); 'concat' joins the slice values textually — longer
     keys, but exactly reproducible by a relational oracle.
+
+    ``sig_len``: the signature width (num_hashes) when the caller knows
+    it — validates ``bands * rows_per_band <= sig_len`` and raises
+    instead of silently emitting one constant key per out-of-range band
+    (see _check_band_geometry).
     """
+    _check_band_geometry(bands, rows_per_band, sig_len)
     cols = []
     for b in range(bands):
         sl = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
@@ -222,11 +250,14 @@ def lsh_band_keys(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
     band_hash: str = "xxhash64",
+    sig_len: int | None = None,
 ) -> DataFrame:
     """(id, key): one key per signature band — docs collide on a band iff
     all ``rows_per_band`` signature slots agree. Key = band index +
-    a fold of the band slice (see lsh_band_keys_expr band_hash).
+    a fold of the band slice (see lsh_band_keys_expr band_hash;
+    ``sig_len`` = the signatures' num_hashes, validated when given).
     """
+    _check_band_geometry(bands, rows_per_band, sig_len)
     return signatures.select(
         id_col,
         F.explode(

@@ -138,6 +138,7 @@ def fuzzy_contamination_report(
             rows_per_band=rows_per_band,
             id_col=id_col,
             band_hash=band_hash,
+            sig_len=num_hashes,
         )
 
     from entitymatch_spark.operators.dedup import verify_token_jaccard

@@ -56,7 +56,7 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact token-set jaccard."""
     sigs = minhash_signature(docs, id_col, tokens_col, num_hashes, seed)
-    keys = lsh_band_keys(sigs, bands, rows_per_band, id_col)
+    keys = lsh_band_keys(sigs, bands, rows_per_band, id_col, sig_len=num_hashes)
     pairs = candidate_pairs(keys, max_block=max_block, id_col=id_col)
     sets_ = docs.select(
         F.col(id_col), F.array_distinct(tokens_col).alias("tset")

@@ -122,6 +122,27 @@ def _pair_udf(idf_bcast, jw_prefix: int = JW_PREFIX, default_idf: float = 1e-5):
     return F.pandas_udf(batch, "struct<jw:double,cosine:double,containment:double>")
 
 
+def hydration_exprs(
+    suffix: str,
+    text_col: str = "norm_text",
+    tokens_col: str = "tokens",
+    lev_prefix: int = LEV_PREFIX,
+    jw_prefix: int = JW_PREFIX,
+) -> list:
+    """The four per-doc hydration columns score_hydrated consumes
+    (``jwt_/levt_/toksj_/toksd_<suffix>``) as bare expressions. ONE
+    place defines them: hydration_side below projects them from a docs
+    table, and the streaming matcher splices them into its stream-side
+    select (a stream cannot be re-joined to itself, so it cannot call
+    hydration_side) — a schema change here reaches both paths."""
+    return [
+        F.substring(text_col, 1, jw_prefix).alias(f"jwt_{suffix}"),
+        F.substring(text_col, 1, lev_prefix).alias(f"levt_{suffix}"),
+        F.array_join(tokens_col, " ").alias(f"toksj_{suffix}"),
+        F.array_distinct(tokens_col).alias(f"toksd_{suffix}"),
+    ]
+
+
 def hydration_side(
     docs: DataFrame,
     suffix: str,
@@ -138,10 +159,7 @@ def hydration_side(
     (stream-side joins back to the stream are not expressible)."""
     return docs.select(
         F.col(id_col).alias(f"id_{suffix}"),
-        F.substring(text_col, 1, jw_prefix).alias(f"jwt_{suffix}"),
-        F.substring(text_col, 1, lev_prefix).alias(f"levt_{suffix}"),
-        F.array_join(tokens_col, " ").alias(f"toksj_{suffix}"),
-        F.array_distinct(tokens_col).alias(f"toksd_{suffix}"),
+        *hydration_exprs(suffix, text_col, tokens_col, lev_prefix, jw_prefix),
     )
 
 

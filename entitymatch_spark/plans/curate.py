@@ -76,6 +76,11 @@ class CurateConfig:
                 self.jaccard_threshold, "CurateConfig.jaccard_threshold"
             ),
         )
+        # same fail-fast as MatchConfig: bands past the signature end
+        # silently zero those bands' recall (see blocking.py)
+        from entitymatch_spark.operators.blocking import _check_band_geometry
+
+        _check_band_geometry(self.bands, self.rows_per_band, self.minhash_hashes)
 
 
 def sample_hash(id_col, mod: int):
@@ -135,6 +140,7 @@ def curate(
         rows_per_band=cfg.rows_per_band,
         id_col=id_col,
         band_hash=cfg.band_hash,
+        sig_len=cfg.minhash_hashes,
     )
     cand = candidate_pairs(keys, max_block=cfg.max_block)
 

@@ -100,6 +100,25 @@ class MatchState:
     # corpus members from the next batch on (old-old pairs are never
     # re-emitted).
     scored: DataFrame | None = None
+    # The state's MATCH PREDICATE when it is not the affine blend: set
+    # by rethreshold(model=...) to the CalibratedModel whose logistic
+    # blend + probability threshold decided ``clusters``. Every edge
+    # re-derivation over ``scored`` (incremental_match, remove_docs,
+    # upsert_pages — see _match_edges) applies it, so grown/shrunk
+    # clusters stay coherent with the recalibrated ones instead of
+    # silently mixing model-derived and affine-derived components.
+    # NOT persisted by save_state (the model is the caller's versioned
+    # artifact); re-attach after load_state with dataclasses.replace.
+    match_model: object | None = None
+
+
+def _match_edges(state: "MatchState", scored: DataFrame) -> DataFrame:
+    """The state's match predicate over a scored-pair frame: the
+    calibrated model when the state carries one, else the affine
+    ``score >= cfg.threshold`` cut."""
+    if state.match_model is not None:
+        return state.match_model.matches(scored)
+    return scored.filter(F.col("score") >= state.cfg.threshold)
 
 
 @dataclass
@@ -151,7 +170,7 @@ def _batch_keys(new_docs: DataFrame, state: MatchState) -> DataFrame:
         keys = keys.unionByName(
             lsh_band_keys(
                 sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band,
-                band_hash=cfg.lsh_band_hash,
+                band_hash=cfg.lsh_band_hash, sig_len=cfg.num_hashes,
             )
         )
     return keys
@@ -258,7 +277,9 @@ def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalRes
         cascade_min_jaccard=cfg.cascade_min_jaccard,
         default_idf=default_idf,
     )
-    matches = scored.filter(F.col("score") >= cfg.threshold)
+    # the STATE's predicate (model when recalibrated, else affine) so
+    # grown clusters stay coherent with the stored ones
+    matches = _match_edges(state, scored)
 
     clusters, affected, changed = _merge_clusters(state.clusters, matches, new_docs)
 
@@ -271,6 +292,7 @@ def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalRes
         scored=(
             state.scored.unionByName(scored) if state.scored is not None else None
         ),
+        match_model=state.match_model,
     )
     return IncrementalResult(
         state=new_state, new_docs=new_docs, new_keys=new_keys, pairs=pairs,
@@ -398,11 +420,26 @@ def save_state(state: MatchState, path: str, *, key_buckets: int | None = None) 
         write_table(state.scored, _state_target(path, "scored"))
 
 
+def _fs_path_exists(spark: SparkSession, p: str) -> bool:
+    """Existence check through Hadoop's FileSystem API, so it answers
+    for WHATEVER filesystem the path names (s3a://, hdfs://, file://,
+    bare local) — a driver-local ``pathlib.Path.exists()`` is always
+    False for remote URIs, which would silently load ``scored=None``
+    from a state that has the table."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def load_state(
     spark: SparkSession, path: str, cfg: MatchConfig | None = None
 ) -> MatchState:
-    from pathlib import Path as _Path
-
+    """Load a :func:`save_state` save. ``match_model`` is NOT persisted
+    (the calibrated model is the caller's versioned artifact): a state
+    recalibrated with rethreshold(model=...) loads with the affine
+    predicate — re-attach the model with ``dataclasses.replace(state,
+    match_model=m)`` before growing or deleting from it."""
     from entitymatch_spark.sources.readers import is_table_name, read_pages
 
     dfs = {part: read_pages(spark, _state_target(path, part)) for part in _PARTS}
@@ -410,7 +447,7 @@ def load_state(
     has_scored = (
         spark.catalog.tableExists(scored_t)
         if is_table_name(path)
-        else (_Path(path) / "scored").exists()
+        else _fs_path_exists(spark, f"{path}/scored")
     )
     scored = read_pages(spark, scored_t) if has_scored else None
     return MatchState(cfg=cfg or MatchConfig(), scored=scored, **dfs)
@@ -462,7 +499,14 @@ def commit_increment(result: IncrementalResult, path: str) -> None:
         )
     new_docs = result.new_docs.localCheckpoint(eager=True)
     new_keys = result.new_keys.localCheckpoint(eager=True)
-    scored = result.scored.localCheckpoint(eager=True)
+    # the scored delta is only written when the state carries the table
+    # — don't pay its eager materialization (a full hydration + Arrow
+    # pass) for a state built without scored persistence
+    scored = (
+        result.scored.localCheckpoint(eager=True)
+        if result.state.scored is not None
+        else None
+    )
     spark = new_docs.sparkSession
 
     clusters_t = _state_target(path, "clusters")
@@ -508,7 +552,7 @@ def commit_increment(result: IncrementalResult, path: str) -> None:
 
     write_table(new_docs, _state_target(path, "docs"), mode="append")
     write_table(new_keys, _state_target(path, "keys"), mode="append")
-    if result.state.scored is not None:
+    if scored is not None:
         write_table(scored, _state_target(path, "scored"), mode="append")
 
 
@@ -579,9 +623,14 @@ def rethreshold(
         matches.select("id_a", "id_b"), src="id_a", dst="id_b"
     )
     clusters = assign_clusters(state.docs.select("doc_id"), components)
+    # record the predicate that decided these clusters: the model rides
+    # the state so later grow/delete re-derivations (_match_edges) stay
+    # coherent; a threshold/weights recalibration RESETS to affine —
+    # cfg now carries the new blend
     return MatchState(
         docs=state.docs, keys=state.keys, idf=state.idf,
         clusters=clusters, cfg=cfg, scored=scored,
+        match_model=model,
     )
 
 
@@ -649,7 +698,8 @@ def remove_docs(state: MatchState, doc_ids: DataFrame) -> MatchState:
         .select("doc_id")
     )
     edges = (
-        scored.filter(F.col("score") >= cfg.threshold)
+        _match_edges(state, scored)  # model-aware: must equal the
+        # predicate that decided the stored clusters (see MatchState)
         .select("id_a", "id_b")
         .join(remaining.withColumnRenamed("doc_id", "id_a"), "id_a", "semi")
     )
@@ -659,6 +709,7 @@ def remove_docs(state: MatchState, doc_ids: DataFrame) -> MatchState:
     return MatchState(
         docs=docs, keys=keys, idf=state.idf,
         clusters=unchanged.unionByName(changed), cfg=cfg, scored=scored,
+        match_model=state.match_model,
     )
 
 

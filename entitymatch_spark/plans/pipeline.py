@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from entitymatch_spark.functions.text import normalize_text, tokenize
 from entitymatch_spark.operators.blocking import (
+    _check_band_geometry,
     candidate_pairs,
     lsh_band_keys,
     minhash_signature,
@@ -98,6 +99,13 @@ class MatchConfig:
     id_col: str = "url"
     text_col: str = "text"
 
+    def __post_init__(self):
+        # fail at CONFIG time, not after the signature stage has run:
+        # bands past the signature end would emit one constant key per
+        # band (skew + zero recall after the purge — see blocking.py)
+        if self.use_lsh:
+            _check_band_geometry(self.bands, self.rows_per_band, self.num_hashes)
+
 
 @dataclass
 class MatchResult:
@@ -171,7 +179,7 @@ def match_pipeline(
         keys = keys.unionByName(
             lsh_band_keys(
                 sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band,
-                band_hash=cfg.lsh_band_hash,
+                band_hash=cfg.lsh_band_hash, sig_len=cfg.num_hashes,
             )
         )
 

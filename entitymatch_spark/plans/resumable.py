@@ -61,7 +61,7 @@ def resumable_match_pipeline(
             keys = keys.unionByName(
                 lsh_band_keys(
                     sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band,
-                    band_hash=cfg.lsh_band_hash,
+                    band_hash=cfg.lsh_band_hash, sig_len=cfg.num_hashes,
                 )
             )
         return keys

@@ -45,6 +45,33 @@ _V1_FALLBACK_CONDITIONS = {
 }
 
 
+def _existing_bucket_spec(
+    spark: SparkSession, target: str
+) -> tuple[int, list[str], list[str]] | None:
+    """(num_buckets, bucket_cols, sort_cols) of an existing catalog
+    table, or None when the table doesn't exist or isn't bucketed.
+    Appends to a V1 bucketed table must RE-STATE the spec (Spark
+    refuses a plain append with 'Specified bucketing does not match'),
+    so the writer looks it up rather than making every caller thread
+    the layout through — commit_increment's nightly keys append onto a
+    save_state(key_buckets=) table is exactly that case."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.sql(f"DESCRIBE FORMATTED {target}").collect()
+    except AnalysisException:
+        return None
+    kv = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows}
+    n, cols = kv.get("Num Buckets"), kv.get("Bucket Columns")
+    if not n or not cols:
+        return None
+
+    def _parse(s: str) -> list[str]:
+        return [c.strip(" `") for c in s.strip("[]").split(",") if c.strip(" `")]
+
+    return int(n), _parse(cols), _parse(kv.get("Sort Columns", ""))
+
+
 def write_table(
     df: DataFrame,
     target: str,
@@ -91,6 +118,15 @@ def write_table(
         )
         return
     if is_table_name(target):
+        if mode != "overwrite":
+            spec = _existing_bucket_spec(df.sparkSession, target)
+            if spec is not None:
+                n, bcols, scols = spec
+                w = df.write.mode("append").bucketBy(n, *bcols)
+                if scols:
+                    w = w.sortBy(*scols)
+                w.saveAsTable(target)
+                return
         try:
             if mode == "overwrite":
                 df.writeTo(target).createOrReplace()

@@ -67,7 +67,7 @@ def incremental_minhash_keys(
     )
     return lsh_band_keys(
         sigs, bands=bands, rows_per_band=rows_per_band, id_col="doc_id",
-        band_hash=band_hash,
+        band_hash=band_hash, sig_len=num_hashes,
     )
 
 
@@ -89,6 +89,9 @@ def incremental_match(
     default_idf: float = 1e-5,
     dedup_within_watermark: bool = False,
     event_time_col: str = "warc_ts",
+    lev_prefix: int | None = None,
+    jw_prefix: int | None = None,
+    lev_band: int | None = None,
 ) -> DataFrame:
     """Streaming record linkage: score newly arrived pages against the
     already-indexed corpus. (Stream-vs-static scoring only; for BATCH
@@ -125,15 +128,34 @@ def incremental_match(
     token_hash/band_hash (and num_hashes/bands/rows_per_band/seed) MUST
     mirror the static index's MatchConfig — keys built with a different
     hash variant never equal the indexed keys, so the LSH branch of the
-    stream-static join silently matches nothing.
+    stream-static join silently matches nothing. Likewise lev_prefix /
+    jw_prefix (None = the batch defaults): a stream side hydrated at a
+    different prefix cap scores the same pair differently from the
+    batch pipeline — pass the index's MatchConfig.lev_prefix when it
+    was customized.
 
     Emits (id_a = new url, id_b = indexed doc, features..., score).
     """
+    from entitymatch_spark.operators.blocking import (
+        _check_band_geometry,
+        token_key_expr,
+    )
     from entitymatch_spark.operators.scoring import (
         JW_PREFIX,
+        LEV_BAND,
         LEV_PREFIX,
+        hydration_exprs,
         score_hydrated,
     )
+
+    # prefix/band knobs MUST mirror the static index's MatchConfig the
+    # same way the hash knobs must: a stream side hydrated at a
+    # different lev_prefix scores the same pair differently from the
+    # batch pipeline, silently breaking batch/stream score parity
+    lev_prefix = LEV_PREFIX if lev_prefix is None else lev_prefix
+    jw_prefix = JW_PREFIX if jw_prefix is None else jw_prefix
+    lev_band = LEV_BAND if lev_band is None else lev_band
+    _check_band_geometry(bands, rows_per_band, num_hashes)
 
     # the event-time (watermark) column must ride along when bounded
     # dedup state is requested — fail fast here rather than let
@@ -155,12 +177,11 @@ def incremental_match(
         tokenize("text").alias("_toks"),
         *extra,
     )
-    hyd_cols = [
-        F.substring("_norm", 1, JW_PREFIX).alias("jwt_a"),
-        F.substring("_norm", 1, LEV_PREFIX).alias("levt_a"),
-        F.array_join("_toks", " ").alias("toksj_a"),
-        F.array_distinct("_toks").alias("toksd_a"),
-    ]
+    # the scorer's own hydration recipe (shared with hydration_side),
+    # at the index's prefix caps
+    hyd_cols = hydration_exprs(
+        "a", "_norm", "_toks", lev_prefix=lev_prefix, jw_prefix=jw_prefix
+    )
     a_hyd = a.select("id_a", *extra, *hyd_cols, "_toks")
     carry = ["id_a", *extra, "jwt_a", "levt_a", "toksj_a", "toksd_a"]
 
@@ -168,7 +189,7 @@ def incremental_match(
     tok_keys = (
         a_hyd.select(*carry, F.explode("toksd_a").alias("token"))
         .join(F.broadcast(rare), "token")
-        .select(*carry, F.concat(F.lit("tok:"), F.col("token")).alias("key"))
+        .select(*carry, token_key_expr(F.col("token")).alias("key"))
     )
     lsh_keys = (
         a_hyd.withColumn(
@@ -197,13 +218,17 @@ def incremental_match(
 
     from entitymatch_spark.operators.scoring import hydration_side
 
-    b_side = hydration_side(static_docs, "b")
+    b_side = hydration_side(
+        static_docs, "b", lev_prefix=lev_prefix, jw_prefix=jw_prefix
+    )
     hydrated = cand.join(b_side, "id_b")
     return score_hydrated(
         hydrated,
         idf_map,
         weights=weights,
         threshold=threshold,
+        lev_band=lev_band,
+        jw_prefix=jw_prefix,
         default_idf=default_idf,
     )
 

@@ -444,3 +444,155 @@ def test_commit_increment_catalog_fallback(spark, setup):
     finally:
         for part in parts:
             spark.sql(f"drop table if exists {prefix}_{part}")
+
+
+def test_commit_increment_bucketed_keys(spark, setup):
+    """THE documented 10^12 combination: save_state(key_buckets=) then
+    commit_increment. The keys append must re-state the stored table's
+    bucket spec (a plain append refuses with 'Specified bucketing does
+    not match that of the existing table') and the table must STAY
+    bucketed so the next batch's standing-side scan remains
+    shuffle-free."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from entitymatch_spark.plans.incremental import commit_increment
+    from entitymatch_spark.sources.readers import _existing_bucket_spec
+
+    prefix = "default.em_state_cib"
+    parts = ("docs", "keys", "idf", "clusters", "scored")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for part in parts:
+        spark.sql(f"drop table if exists {prefix}_{part}")
+        shutil.rmtree(f"{wh}/em_state_cib_{part}", ignore_errors=True)
+    save_state(setup["st0"], prefix, key_buckets=8)
+    try:
+        loaded = load_state(spark, prefix, setup["cfg"])
+        res = incremental_match(loaded, setup["batch"])
+        commit_increment(res, prefix)
+        assert _existing_bucket_spec(spark, f"{prefix}_keys") == (
+            8, ["key"], ["key"],
+        )
+        grown = load_state(spark, prefix, setup["cfg"])
+        exp = setup["inc"].state
+        assert sorted((r.doc_id, r.key) for r in grown.keys.collect()) == sorted(
+            (r.doc_id, r.key) for r in exp.keys.collect()
+        )
+        assert _clusters(grown.clusters) == _clusters(exp.clusters)
+    finally:
+        for part in parts:
+            spark.sql(f"drop table if exists {prefix}_{part}")
+
+
+def test_remove_docs_follows_calibrated_model(setup):
+    """A state recalibrated with rethreshold(model=) must keep using the
+    MODEL's predicate when docs are later removed — re-deriving changed
+    clusters from the affine threshold would silently mix two edge sets
+    in one clusters table. Oracle: full model-predicate closure over the
+    surviving scored table."""
+    from entitymatch_spark.operators.calibrate import CalibratedModel
+    from entitymatch_spark.operators.clustering import (
+        assign_clusters,
+        connected_components,
+    )
+    from entitymatch_spark.plans.incremental import remove_docs, rethreshold
+
+    model = CalibratedModel(
+        weights={"cosine": 6.0, "jw": 2.0, "lev_sim": 1.0,
+                 "jaccard": 1.0, "containment": 1.0},
+        bias=-6.0, threshold=0.5,
+    )
+    st = rethreshold(setup["inc"].state, model=model)
+    assert st.match_model is model
+    gone = (
+        st.docs.select("doc_id")
+        .filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 1)
+    )
+    out = remove_docs(st, gone)
+    assert out.match_model is model  # predicate survives the delete
+
+    survivors = st.docs.join(gone, "doc_id", "anti").select("doc_id")
+    scored = (
+        st.scored
+        .join(gone.withColumnRenamed("doc_id", "id_a"), "id_a", "anti")
+        .join(gone.withColumnRenamed("doc_id", "id_b"), "id_b", "anti")
+    )
+    comp = connected_components(
+        model.matches(scored).select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    want = assign_clusters(survivors, comp)
+    assert _clusters(out.clusters) == _clusters(want)
+
+
+def test_incremental_match_carries_model_predicate(setup):
+    """Growing a model-recalibrated state derives the batch's match
+    edges with the model, not the affine cut, and the grown state still
+    carries the model."""
+    from entitymatch_spark.operators.calibrate import CalibratedModel
+    from entitymatch_spark.plans.incremental import rethreshold
+
+    model = CalibratedModel(
+        weights={"cosine": 6.0, "jw": 2.0, "lev_sim": 1.0,
+                 "jaccard": 1.0, "containment": 1.0},
+        bias=-6.0, threshold=0.5,
+    )
+    # recalibrate the base state, then grow it by the same batch
+    st = rethreshold(setup["st0"], model=model)
+    res = incremental_match(st, setup["batch"])
+    assert res.state.match_model is model
+    assert "p_match" in res.matches.columns  # model predicate decided
+    got = {(r.id_a, r.id_b) for r in res.matches.select("id_a", "id_b").collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in model.matches(res.scored).select("id_a", "id_b").collect()
+    }
+    assert got == want
+
+
+def test_load_state_file_uri(spark, tmp_path, setup):
+    """The scored-table existence probe must go through Hadoop's
+    FileSystem (answers for s3a://, hdfs://, file://), not a
+    driver-local Path.exists() that is always False for URIs — which
+    silently loaded scored=None from a save that has the table."""
+    path = "file://" + str(tmp_path / "st_uri")
+    save_state(setup["st0"], path)
+    loaded = load_state(spark, path, setup["cfg"])
+    assert loaded.scored is not None
+    assert loaded.docs.count() == setup["st0"].docs.count()
+
+
+def test_commit_increment_without_scored_state(spark, tmp_path, setup):
+    """A state built without scored persistence commits without paying
+    the scored delta's eager materialization (and without writing a
+    scored table)."""
+    from dataclasses import replace
+    from pathlib import Path
+
+    from entitymatch_spark.plans.incremental import commit_increment
+
+    path = str(tmp_path / "st_ns")
+    save_state(replace(setup["st0"], scored=None), path)
+    loaded = load_state(spark, path, setup["cfg"])
+    assert loaded.scored is None
+    res = incremental_match(loaded, setup["batch"])
+    commit_increment(res, path)
+    assert not (Path(path) / "scored").exists()
+    grown = load_state(spark, path, setup["cfg"])
+    assert grown.scored is None
+    assert _clusters(grown.clusters) == _clusters(setup["inc"].state.clusters)
+
+
+def test_lsh_band_geometry_validated(spark):
+    """Bands past the signature end would emit one constant key per
+    out-of-range band (skew + silent zero recall after the purge):
+    MatchConfig and the key builders refuse the layout up front."""
+    from entitymatch_spark.operators.blocking import lsh_band_keys
+
+    with pytest.raises(ValueError, match="exceeds the signature"):
+        MatchConfig(bands=32, rows_per_band=4, num_hashes=64)
+    MatchConfig(use_lsh=False, bands=32, rows_per_band=4, num_hashes=64)
+    with pytest.raises(ValueError, match="exceeds the signature"):
+        lsh_band_keys(
+            spark.range(0).withColumn("sig", F.array().cast("array<long>")),
+            bands=17, rows_per_band=4, sig_len=64,
+        )
