@@ -364,45 +364,40 @@ def candidate_pairs(
         raise ValueError(f"unknown oversize_policy: {oversize_policy!r}")
     if n_partitions:
         keys = keys.repartition(n_partitions, "key")
-    if payload_cols:
-        # Carry NARROW per-id columns (e.g. an 8-byte SimHash) through
-        # the block expansion so the verifier needs NO join back to the
-        # id table — which, when the upstream is a narrow fold with no
-        # exchange to reuse, would recompute that upstream once per
-        # join side. Output gains <c>_a/<c>_b per payload column. Keep
-        # payloads small: each rides the block shuffle once per key and
-        # the pair shuffle twice per pair (fat columns belong in the
-        # join form, see score_pairs hydration).
-        member = F.struct(F.col(id_col).alias("__id"), *[F.col(c) for c in payload_cols])
-        blocks = keys.groupBy("key").agg(F.collect_list(member).alias("ids"))
-        if oversize_policy == "purge":
-            blocks = blocks.filter(F.size("ids") <= max_block)
-        blocks = blocks.filter(F.size("ids") >= 2)
-        return (
-            blocks.select(F.col("ids"), F.explode("ids").alias("a"))
-            .select("a", F.explode("ids").alias("b"))
-            .filter(F.col("a.__id") < F.col("b.__id"))
-            .groupBy(
-                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
-            )
-            .agg(
-                F.count("*").alias("n_keys"),
-                *[F.first(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
-                *[F.first(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
-            )
-        )
+    # ``payload_cols`` carries NARROW per-id columns (e.g. an 8-byte
+    # SimHash) through the block expansion so the verifier needs NO
+    # join back to the id table — which, when the upstream is a narrow
+    # fold with no exchange to reuse, would recompute that upstream
+    # once per join side. Output gains <c>_a/<c>_b per payload column.
+    # Keep payloads small: each rides the block shuffle once per key
+    # and the pair shuffle twice per pair (fat columns belong in the
+    # join form, see score_pairs hydration). Without payloads the
+    # member is the bare id — same plan minus the struct wrap.
+    member = (
+        F.struct(F.col(id_col).alias("__id"), *[F.col(c) for c in payload_cols])
+        if payload_cols
+        else F.col(id_col)
+    )
     # collect_list (not _set): duplicate (key, id) rows must count
     # toward the purge threshold and the n_keys signal exactly as the
     # row-level join form did.
-    blocks = keys.groupBy("key").agg(F.collect_list(F.col(id_col)).alias("ids"))
+    blocks = keys.groupBy("key").agg(F.collect_list(member).alias("ids"))
     if oversize_policy == "purge":
         blocks = blocks.filter(F.size("ids") <= max_block)
     # blocks of one produce no pairs; skip their expansion entirely
     blocks = blocks.filter(F.size("ids") >= 2)
+    expanded = (
+        blocks.select(F.col("ids"), F.explode("ids").alias("a"))
+        .select("a", F.explode("ids").alias("b"))
+    )
+    a_id = F.col("a.__id") if payload_cols else F.col("a")
+    b_id = F.col("b.__id") if payload_cols else F.col("b")
     return (
-        blocks.select(F.col("ids"), F.explode("ids").alias("id_a"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_keys"))
+        expanded.filter(a_id < b_id)
+        .groupBy(a_id.alias("id_a"), b_id.alias("id_b"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            *[F.first(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.first(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
     )
