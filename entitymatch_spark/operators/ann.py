@@ -37,15 +37,25 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
-    """(qid, nid, cosine, rnk): exact top-k by cosine, deterministic ties."""
+    """(qid, nid, cosine, rnk): exact top-k by cosine, deterministic ties.
+
+    ``exclude_self`` assumes queries and corpus share ONE id namespace
+    (the self-search shape: every doc queries the rest of the corpus)
+    and drops qid == nid. Pass False when the two tables have
+    independent id spaces — otherwise a corpus vector whose id happens
+    to equal a query id is silently excluded from that query's results.
+    The same flag exists on every top-k variant in this module."""
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("ea")
     )
     c = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("eb")
     )
-    pairs = q.crossJoin(c).filter(F.col("qid") != F.col("nid"))
+    pairs = q.crossJoin(c).filter(
+        ~F.lit(exclude_self) | (F.col("qid") != F.col("nid"))
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         pairs.withColumn("cosine", cosine_expr("ea", "eb"))
@@ -61,7 +71,20 @@ def _bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     powers = (1 << np.arange(n_planes)).astype(np.int64)
 
     def batch(vecs: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        arrs = []
+        for i, v in enumerate(vecs):
+            a = None if v is None else np.asarray(v, dtype=np.float64)
+            if a is None or a.ndim != 1 or a.shape[0] != dim:
+                # a null or ragged embedding otherwise dies inside
+                # np.stack with an opaque shape error — name the row
+                raise ValueError(
+                    f"embedding at batch offset {i} must be a length-"
+                    f"{dim} vector, got "
+                    f"{'null' if a is None else f'shape {a.shape}'}; "
+                    "filter or fix corrupt rows before LSH bucketing"
+                )
+            arrs.append(a)
+        m = np.stack(arrs)
         out = []
         for t in range(n_tables):
             bits = (m @ planes[t].T) > 0  # (batch, n_planes)
@@ -98,6 +121,7 @@ def rp_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: bucket-join candidates, exact cosine rerank."""
     qb = rp_lsh_buckets(queries, dim, n_planes, n_tables, seed, id_col, vec_col)
@@ -105,7 +129,7 @@ def rp_lsh_topk(
     cand = (
         qb.select(F.col(id_col).alias("qid"), "bucket")
         .join(cb.select(F.col(id_col).alias("nid"), "bucket"), "bucket")
-        .filter(F.col("qid") != F.col("nid"))
+        .filter(~F.lit(exclude_self) | (F.col("qid") != F.col("nid")))
         .select("qid", "nid")
         .distinct()
     )
@@ -201,6 +225,7 @@ def rp_lsh_md5_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """rp_lsh_topk semantics over the portable md5-plane buckets —
     bucket-join candidates, exact cosine rerank, deterministic ties."""
@@ -209,7 +234,7 @@ def rp_lsh_md5_topk(
     cand = (
         qb.select(F.col(id_col).alias("qid"), "key")
         .join(cb.select(F.col(id_col).alias("nid"), "key"), "key")
-        .filter(F.col("qid") != F.col("nid"))
+        .filter(~F.lit(exclude_self) | (F.col("qid") != F.col("nid")))
         .select("qid", "nid")
         .distinct()
     )
@@ -268,6 +293,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus vectors are partitioned into
     centroid cells (cell assignment = nearest centroid); a query probes
@@ -285,7 +311,7 @@ def ivf_topk(
     cand = (
         probes.select(F.col(id_col).alias("qid"), cent_id)
         .join(cells.select(F.col(id_col).alias("nid"), cent_id), cent_id)
-        .filter(F.col("qid") != F.col("nid"))
+        .filter(~F.lit(exclude_self) | (F.col("qid") != F.col("nid")))
         .select("qid", "nid")
         .distinct()
     )

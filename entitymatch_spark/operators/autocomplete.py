@@ -116,7 +116,10 @@ def complete_topl(
     )
     order = [F.asc("distance")]
     if weight_col is not None:
-        w = vocab.select(token_col, weight_col).distinct()
+        # one weight PER TOKEN (max), not .distinct() on the pair: a
+        # vocab token appearing with two weight values would fan each
+        # completion into two ranked rows and eat top-L slots
+        w = vocab.groupBy(token_col).agg(F.max(weight_col).alias(weight_col))
         per_tok = per_tok.join(F.broadcast(w), token_col)
         order.append(F.desc(weight_col))
     order.append(F.asc(token_col))

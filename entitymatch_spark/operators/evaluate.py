@@ -16,7 +16,7 @@ the key table; no pair materialization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,7 +44,12 @@ def pair_metrics(
             *[c for c in df.columns if c not in (a, b)],
         )
 
-    lab = canon(labels, id_a, id_b).select("id_a", "id_b", label_col)
+    # distinct: a label supplied in both orders — (a,b,true) and
+    # (b,a,true) — is ONE labeled pair, not two tp/fn slots. (Labels
+    # that CONFLICT after normalization, (a,b,true)+(b,a,false),
+    # survive as two rows: contradictory ground truth is the caller's
+    # data bug to surface, not this function's to pick a winner for.)
+    lab = canon(labels, id_a, id_b).select("id_a", "id_b", label_col).distinct()
     pred = (
         canon(matches, id_a, id_b)
         .select("id_a", "id_b")
@@ -98,9 +103,17 @@ def blocking_stats(
             F.count("*").alias("n_keys"),
             F.sum(pairable.cast("long")).alias("n_pair_blocks"),
             F.sum((F.col("n") > max_block).cast("long")).alias("n_purged"),
+            # integer arithmetic end to end: n*(n-1) is even, so DIV 2
+            # is exact, and the long-typed sum stays exact — the double
+            # form lost integer precision past 2^53 summed pairs (real
+            # at 10^12-doc key tables), returning an approximate count
+            # documented as exact
             F.sum(
-                F.when(pairable, F.col("n") * (F.col("n") - 1) / 2).otherwise(0)
-            ).cast("long").alias("cand_pairs"),
+                F.when(
+                    pairable,
+                    F.expr("CAST(n AS BIGINT) * (n - 1) div 2"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("cand_pairs"),
             F.max("n").alias("max_block"),
             F.round(F.avg("n"), 4).alias("avg_block"),
         )
@@ -122,13 +135,23 @@ def cluster_stats(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(id_col).alias("cluster_size")
     )
-    total = clusters.count()
+    # the doc total comes from a window over the (tiny) histogram, so
+    # the whole thing stays ONE lazy plan — an eager clusters.count()
+    # here ran the input lineage twice (once at call time, once when
+    # the result evaluated) and, on a nondeterministic input, computed
+    # pct_docs against a different materialization's total
     return (
         sizes.groupBy("cluster_size")
         .agg(F.count("*").alias("n_clusters"))
         .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
         .withColumn(
-            "pct_docs", F.round(F.col("n_docs") / F.lit(float(total)) * 100, 4)
+            "pct_docs",
+            F.round(
+                F.col("n_docs")
+                / F.sum("n_docs").over(Window.partitionBy())
+                * 100,
+                4,
+            ),
         )
         .select("cluster_size", "n_clusters", "n_docs", "pct_docs")
     )

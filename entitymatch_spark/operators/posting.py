@@ -42,7 +42,7 @@ def build_posting(
     )
 
 
-def token_idf(posting: DataFrame, n_docs: int, id_col: str = "doc_id") -> DataFrame:
+def token_idf(posting: DataFrame, n_docs: int) -> DataFrame:
     """(token, df, idf) with the reference's BM25-style IDF formula.
 
     ``df`` counts posting rows (occurrences), not distinct documents —

@@ -80,8 +80,24 @@ class ACAutomaton:
 # unsound: CPython reuses object ids after GC, so two different phrase
 # lists in a long-lived executor could collide and silently reuse the
 # wrong automaton. The content key also re-hits across separate queries
-# over the same dictionary.
+# over the same dictionary. Bounded (insertion-order eviction): a
+# long-lived executor serving rotating per-tenant dictionaries must not
+# accumulate one automaton per dictionary forever.
 _AC_CACHE: dict[str, ACAutomaton] = {}
+_AC_CACHE_MAX = 8
+
+
+def _ac_cache_key(phrases: list[str]) -> str:
+    """Unambiguous content hash: each phrase is length-prefixed, so
+    ['a\\x00', 'b'] and ['a', '\\x00b'] — identical under a plain
+    '\\x00'.join — hash differently."""
+    h = hashlib.sha1()
+    for p in phrases:
+        enc = p.encode()
+        h.update(str(len(enc)).encode())
+        h.update(b":")
+        h.update(enc)
+    return h.hexdigest()
 
 
 def multi_pattern_scan(
@@ -98,7 +114,7 @@ def multi_pattern_scan(
     """
     spark = SparkSession.getActiveSession()
     bc = spark.sparkContext.broadcast(list(phrases))
-    cache_key = hashlib.sha1("\x00".join(phrases).encode()).hexdigest()
+    cache_key = _ac_cache_key(phrases)
     fo = bool(first_only)
 
     def batch(texts: pd.Series) -> pd.Series:
@@ -106,6 +122,8 @@ def multi_pattern_scan(
         ac = _AC_CACHE.get(key)
         if ac is None:
             ac = ACAutomaton(bc.value)
+            while len(_AC_CACHE) >= _AC_CACHE_MAX:
+                _AC_CACHE.pop(next(iter(_AC_CACHE)))
             _AC_CACHE[key] = ac
         out = []
         for t in texts:

@@ -71,11 +71,14 @@ def _quality_parts(tokens_col: str, stopwords: list[str] | None = None):
     tests/test_dedup_ann_textstats.py::test_quality_gate_matches_float_formula
     sweeps the two against each other and fails on any drift."""
     stopwords = stopwords or EN_STOPWORDS
-    sw = ",".join(f"'{s}'" for s in stopwords)
+    # stopwords ride in as LITERALS (like _hits), never spliced into a
+    # SQL string: a quoted splice breaks on any word with an apostrophe
+    # (l', d', qu' — ordinary French stopwords)
+    sw_arr = F.array(*[F.lit(s) for s in stopwords])
     n_tok = F.size(tokens_col)
     n_uniq = F.size(F.array_distinct(tokens_col))
     stop_occ = F.size(
-        F.expr(f"filter({tokens_col}, t -> array_contains(array({sw}), t))")
+        F.filter(tokens_col, lambda t: F.array_contains(sw_arr, t))
     )
     mean_len = (
         F.expr(f"aggregate({tokens_col}, 0D, (acc, t) -> acc + length(t))")
@@ -169,11 +172,11 @@ def quality_at_least(
     """
     qnum, qden = coerce_rational(threshold)
     stopwords = stopwords or EN_STOPWORDS
-    sw = ",".join(f"'{s}'" for s in stopwords)
+    sw_arr = F.array(*[F.lit(w) for w in stopwords])  # literals, not a splice
     n = F.size(tokens_col).cast("long")
     u = F.size(F.array_distinct(tokens_col)).cast("long")
     s = F.size(
-        F.expr(f"filter({tokens_col}, t -> array_contains(array({sw}), t))")
+        F.filter(tokens_col, lambda t: F.array_contains(sw_arr, t))
     ).cast("long")
     tl = F.expr(
         f"aggregate({tokens_col}, 0L, (acc, t) -> acc + length(t))"

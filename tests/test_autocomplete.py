@@ -132,3 +132,23 @@ def test_ac_cache_two_dictionaries_one_session(spark):
         for r in multi_pattern_scan(d, ["beta", "delta"]).collect()
     }
     assert second == {(0, "beta"), (1, "delta")}
+
+
+def test_complete_topl_dedups_vocab_weights(spark):
+    """A vocab token listed with two weight values must yield ONE
+    ranked row per (query, token) — duplicates consumed top-L slots
+    and pushed legitimate completions out."""
+    from entitymatch_spark.operators.autocomplete import complete_topl
+
+    queries = spark.createDataFrame([("pari",)], "query string")
+    vocab = spark.createDataFrame(
+        [("paris", 10), ("paris", 12), ("parish", 5)],
+        "token string, weight int",
+    )
+    out = complete_topl(
+        queries, vocab, max_edit=1, top_l=5, weight_col="weight"
+    ).collect()
+    toks = [r.token for r in out]
+    assert toks.count("paris") == 1
+    paris = [r for r in out if r.token == "paris"][0]
+    assert paris.weight == 12  # max wins

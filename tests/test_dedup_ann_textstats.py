@@ -545,3 +545,66 @@ def test_quality_gate_matches_float_formula(spark):
             if abs(r["q"] - t) > 1e-9 and r["gate"] != (r["q"] >= t)
         ]
         assert not bad, (thr, bad[:5])
+
+
+def test_quality_stopwords_with_apostrophes(spark):
+    """Stopwords ride in as literals, never a SQL splice: a normal
+    French list (l', d', qu') used to throw a ParseException from the
+    quoted splice inside filter(...)."""
+    from entitymatch_spark.operators.textstats import (
+        quality_at_least,
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ["l'", "maison", "d'", "or"]), (2, ["qu'", "qu'", "qu'", "qu'"])],
+        "doc_id long, tokens array<string>",
+    )
+    rows = {r.doc_id: r for r in quality_score(docs, stopwords=["l'", "d'", "qu'"]).collect()}
+    assert rows[1].stop_ratio == 0.5   # 2 of 4 tokens are stopwords
+    assert rows[2].stop_ratio == 1.0
+    gated = docs.filter(
+        quality_at_least("tokens", (1, 100), stopwords=["l'", "d'", "qu'"])
+    )
+    assert {r.doc_id for r in gated.collect()} == {1, 2}
+
+
+def test_ann_exclude_self_flag(spark):
+    """exclude_self=False keeps a corpus row whose id equals a query id
+    — required when queries and corpus have independent id namespaces
+    (the default drop silently hid that row's true neighbors)."""
+    from entitymatch_spark.operators.ann import cosine_topk
+
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    default = cosine_topk(queries, corpus, k=2).collect()
+    assert [r.nid for r in default] == [8]  # self-id dropped
+    both = cosine_topk(queries, corpus, k=2, exclude_self=False).collect()
+    assert [r.nid for r in sorted(both, key=lambda r: r.rnk)] == [7, 8]
+
+
+def test_rp_lsh_buckets_rejects_bad_embeddings(spark):
+    """A null or wrong-length embedding raises a NAMED error instead of
+    an opaque np.stack shape failure deep in the Arrow worker."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    from entitymatch_spark.operators.ann import rp_lsh_buckets
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(PythonException, match="length-2 vector"):
+        rp_lsh_buckets(bad, dim=2).collect()
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(PythonException, match="length-2 vector"):
+        rp_lsh_buckets(ragged, dim=2).collect()

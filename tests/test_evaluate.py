@@ -102,3 +102,36 @@ def test_cluster_stats_reconciles(spark, fixture):
     assert abs(sum(r.pct_docs for r in rows.values()) - 100.0) < 0.01
     for r in rows.values():
         assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_pair_metrics_dedups_reversed_labels(spark):
+    """(a,b,true) and (b,a,true) are ONE labeled pair: a correct
+    prediction must count tp=1, not 2 — double-counting inflated
+    precision/recall through the F1 acceptance gate."""
+    from entitymatch_spark.operators.evaluate import pair_metrics
+
+    labels = spark.createDataFrame(
+        [(1, 2, True), (2, 1, True), (3, 4, False)],
+        "id_a long, id_b long, is_match boolean",
+    )
+    matches = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = pair_metrics(matches, labels).collect()[0]
+    assert (row.tp, row.fp, row.fn) == (1, 0, 0)
+    assert row.precision == 1.0 and row.recall == 1.0
+
+
+def test_cluster_stats_single_lazy_plan(spark):
+    """pct_docs totals come from a window over the histogram — one lazy
+    plan, no eager count() at call time (which ran the input lineage
+    twice and, on nondeterministic input, against a different
+    materialization)."""
+    from entitymatch_spark.operators.evaluate import cluster_stats
+
+    clusters = spark.createDataFrame(
+        [(i, i // 3) for i in range(12)], "doc_id long, cluster_id long"
+    )
+    rows = {r.cluster_size: r for r in cluster_stats(clusters).collect()}
+    assert rows[3].n_clusters == 4 and rows[3].n_docs == 12
+    assert rows[3].pct_docs == 100.0
+    # empty input -> empty histogram, no eager count and no div/0
+    assert cluster_stats(clusters.limit(0)).count() == 0

@@ -47,3 +47,20 @@ def test_multi_pattern_scan_df(spark):
     assert not any(d in (2, 3) for d, _, _ in rows)
     first = multi_pattern_scan(docs, ["the"], first_only=True)
     assert [(r["doc_id"], r["start"]) for r in first.collect()] == [(1, 0)]
+
+
+def test_ac_cache_key_unambiguous_and_bounded():
+    """['a\\x00','b'] and ['a','\\x00b'] joined with NUL are identical
+    strings — the length-prefixed key must distinguish them, or an
+    executor silently reuses the WRONG automaton across scans. The
+    cache is also bounded so rotating dictionaries can't grow it
+    forever."""
+    from entitymatch_spark.operators.textsearch import (
+        _AC_CACHE_MAX,
+        _ac_cache_key,
+    )
+
+    assert _ac_cache_key(["a\x00", "b"]) != _ac_cache_key(["a", "\x00b"])
+    assert _ac_cache_key(["ab"]) != _ac_cache_key(["a", "b"])
+    assert _ac_cache_key(["a", "b"]) == _ac_cache_key(["a", "b"])
+    assert _AC_CACHE_MAX >= 2
