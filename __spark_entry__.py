@@ -2027,8 +2027,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             WITH d AS (SELECT doc_id, md5({NORM}) AS fingerprint FROM documents)
             SELECT doc_id, fingerprint,
-                   min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
-                   count(*) OVER (PARTITION BY fingerprint) AS n_dups
+                   -- NULL-text singleton rule mirrors exact_dedup (a
+                   -- no-op on this fixture, which has no NULL texts)
+                   min(doc_id) OVER (PARTITION BY coalesce(fingerprint,
+                       'null:' || CAST(doc_id AS VARCHAR))) AS canonical_id,
+                   count(*) OVER (PARTITION BY coalesce(fingerprint,
+                       'null:' || CAST(doc_id AS VARCHAR))) AS n_dups
             FROM d
         """,
         "dedup_ngram_jaccard": f"""
@@ -2574,7 +2578,11 @@ def oracle_sql() -> dict[str, str]:
                                ELSE '' END AS path_q
                    FROM seg),
             pq AS (SELECT doc_id, warc_ts, url, scheme, is_url, host,
-                          split_part(path_q, '?', 1) AS path,
+                          -- RFC 3986 6.2.3 empty-path rule, mirroring
+                          -- canonical_url: '' normalizes to '/'
+                          CASE WHEN split_part(path_q, '?', 1) = ''
+                               THEN '/' ELSE split_part(path_q, '?', 1)
+                          END AS path,
                           CASE WHEN strpos(path_q, '?') > 0
                                THEN substr(path_q, strpos(path_q, '?') + 1)
                                ELSE '' END AS query

@@ -34,7 +34,17 @@ def exact_dedup(
     from pyspark.sql import Window
 
     d = docs.select(id_col, F.md5(F.col(text_col)).alias("fingerprint"))
-    w = Window.partitionBy("fingerprint")
+    # NULL text is never anyone's duplicate: md5(NULL) is NULL and a
+    # window PARTITION BY groups all NULLs into ONE partition, which
+    # would elect a canonical doc across unrelated contentless rows and
+    # mark the rest for deletion — give each NULL row its own singleton
+    # group key instead (the emitted fingerprint stays NULL). 'null:<id>'
+    # cannot collide with a real fingerprint (md5 hex has no colon).
+    grp = F.coalesce(
+        F.col("fingerprint"),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(grp)
     return d.select(
         id_col,
         "fingerprint",
@@ -50,28 +60,25 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     rows_per_band: int = 4,
-    jaccard_threshold: float = 0.7,
+    jaccard_threshold: tuple[int, int] | float = 0.7,
     max_block: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact token-set jaccard."""
+    """Near-dup pairs: LSH candidates verified by exact token-set
+    jaccard — through verify_token_jaccard, the module's ONE
+    verification gate (integer cross-multiplied threshold, so the
+    boundary is exact and cannot drift from curate/decontam)."""
     sigs = minhash_signature(docs, id_col, tokens_col, num_hashes, seed)
     keys = lsh_band_keys(sigs, bands, rows_per_band, id_col, sig_len=num_hashes)
     pairs = candidate_pairs(keys, max_block=max_block, id_col=id_col)
-    sets_ = docs.select(
-        F.col(id_col), F.array_distinct(tokens_col).alias("tset")
-    )
-    a = sets_.select(F.col(id_col).alias("id_a"), F.col("tset").alias("sa"))
-    b = sets_.select(F.col(id_col).alias("id_b"), F.col("tset").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_union("sa", "sb"))
-    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
-    return (
-        pairs.join(a, "id_a").join(b, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return verify_token_jaccard(
+        pairs.select("id_a", "id_b"),
+        docs,
+        threshold=jaccard_threshold,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        emit_jaccard=True,
+    ).select("id_a", "id_b", "jaccard")
 
 
 def simhash_signature(
@@ -370,6 +377,7 @@ def verify_token_jaccard(
     left_col: str = "id_a",
     right_col: str = "id_b",
     broadcast_right: bool = False,
+    emit_jaccard: bool = False,
 ) -> DataFrame:
     """Keep candidate pairs whose EXACT token-set jaccard clears
     ``threshold`` = (num, den): ``den*|A∩B| >= num*|A∪B|`` — integer
@@ -393,9 +401,16 @@ def verify_token_jaccard(
         b = F.broadcast(b)
     inter = F.size(F.array_intersect("_ts_a", "_ts_b"))
     union = F.size("_ts_a") + F.size("_ts_b") - inter
-    return (
+    out = (
         pairs.join(a, left_col)
         .join(b, right_col)
         .filter(den * inter >= num * union)
-        .drop("_ts_a", "_ts_b")
     )
+    if emit_jaccard:
+        # the float ratio as a REPORTED feature only — the gate above
+        # already decided membership exactly
+        out = out.withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(0.0)).otherwise(inter / union),
+        )
+    return out.drop("_ts_a", "_ts_b")

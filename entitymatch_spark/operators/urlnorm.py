@@ -80,7 +80,12 @@ def canonical_url(url) -> Column:
     ).when(
         slash > 0, F.substring(after, slash, F.length(after))
     ).otherwise(F.lit(""))
-    path = F.substring_index(path_q, "?", 1)
+    # RFC 3986 §6.2.3: for schemes that define a default authority
+    # form, an empty path is equivalent to '/' — without this,
+    # 'https://host' and 'https://host/' stay distinct canonical keys
+    # for the same page and latest_snapshot keeps both crawl rows
+    raw_path = F.substring_index(path_q, "?", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     # split at the FIRST '?' — '?' is RFC-legal unencoded inside a
     # query, so the query is everything after the first one
     pq_qmark = F.instr(path_q, "?")

@@ -64,6 +64,31 @@ class CheckpointManager:
         with open(self.base / "metrics.jsonl", "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    # -- pinned run parameters -------------------------------------------
+    def pin(self, key: str, value) -> None:
+        """Record a run parameter the committed stages depend on; RAISE
+        if a previous run of this workdir recorded a different value.
+        Same guard class as bucketed_stage's bucketing string: resuming
+        committed stages under changed semantics silently returns stale
+        results built for another configuration. A pre-existing workdir
+        without the pin (legacy) records it on first call."""
+        p = self.base / "pins.json"
+        pins = json.loads(p.read_text()) if p.exists() else {}
+        sval = json.dumps(value, sort_keys=True, default=str)
+        prev = pins.get(key)
+        if prev is not None and prev != sval:
+            raise ValueError(
+                f"checkpoint workdir {self.base} was built with "
+                f"{key}={prev}; this run uses {sval}. Resuming committed "
+                "stages under a changed configuration silently returns "
+                "stale results — use a fresh workdir"
+            )
+        if prev is None:
+            pins[key] = sval
+            tmp = p.with_suffix(".tmp")
+            tmp.write_text(json.dumps(pins, indent=1))
+            tmp.replace(p)
+
     # -- whole-stage checkpoint ----------------------------------------------
     def is_complete(self, name: str) -> bool:
         m = self._read_manifest(name)

@@ -45,6 +45,16 @@ def resumable_match_pipeline(
 ) -> dict[str, DataFrame]:
     cfg = cfg or MatchConfig()
     ck = CheckpointManager(spark, workdir)
+    # EVERY config field is pinned in the workdir: a resume with a
+    # changed threshold/num_hashes/weights/... would silently return
+    # stages committed under the old semantics (the bucketing string
+    # below guards only n_score_buckets)
+    import dataclasses
+
+    ck.pin(
+        "match_config",
+        {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)},
+    )
 
     docs = ck.stage("docs", lambda: prepare_docs(pages, cfg))
     n_docs = docs.count()
@@ -110,8 +120,15 @@ def resumable_match_pipeline(
         bucket = pairs.filter(
             F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_score_buckets)) == b
         )
+        # the FULL scoring config, exactly as plans/pipeline.py passes
+        # it — dropping lev_prefix/cascade_min_jaccard here silently
+        # scored with defaults and diverged from the batch pipeline
         return score_pairs(
-            bucket, docs, idf_map, weights=cfg.weights, default_idf=default_idf
+            bucket, docs, idf_map,
+            weights=cfg.weights,
+            lev_prefix=cfg.lev_prefix,
+            cascade_min_jaccard=cfg.cascade_min_jaccard,
+            default_idf=default_idf,
         )
 
     # the bucketing string pins n_score_buckets in the manifest: a

@@ -108,6 +108,14 @@ def sessionize_stream(
             batches = [pdf[[ts_col, value_col]] for pdf in pdfs]
             data = pd.concat(batches).sort_values(ts_col) if batches else None
             if data is not None and len(data):
+                # a NULL event time carries no position on the session
+                # timeline — drop it. NaT is NOT caught by the watermark
+                # late-row filter (NULL predicate), and downstream it
+                # poisons state: NaT.astype(int64) is int64-min, which
+                # corrupts session_start and crashes _emit at flush with
+                # OutOfBoundsDatetime — persistently, via the checkpoint
+                data = data[data[ts_col].notna()]
+            if data is not None and len(data):
                 # Derive the epoch-micros conversion from the actual dtype
                 # instead of assuming datetime64[ns]: Arrow can deliver
                 # datetime64[us] (or others), and a hardcoded //1000 would

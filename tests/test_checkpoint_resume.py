@@ -256,3 +256,45 @@ def test_metrics_df_same_schema_fresh_and_populated(spark, tmp_path):
     rows = {r["stage"]: r for r in pop.collect()}
     assert rows["s1"]["bucket"] is None and rows["s1"]["rows"] == 5
     assert {r["bucket"] for r in pop.collect() if r["stage"] == "b1"} == {0, 1}
+
+
+def test_resume_with_changed_config_raises(spark, tmp_path, small_corpus):
+    """EVERY MatchConfig field is pinned in the workdir: resuming with a
+    changed threshold used to silently return the 0.60-threshold
+    components for the 0.80 config (only n_score_buckets was guarded).
+    Same-config resume stays allowed; a fresh workdir stays allowed."""
+    fx, pages = small_corpus
+    wd = tmp_path / "pin"
+    resumable_match_pipeline(spark, pages, wd, MatchConfig(), n_score_buckets=2)
+    # same config: fine
+    resumable_match_pipeline(spark, pages, wd, MatchConfig(), n_score_buckets=2)
+    with pytest.raises(ValueError, match="changed configuration"):
+        resumable_match_pipeline(
+            spark, pages, wd, MatchConfig(threshold=0.80), n_score_buckets=2
+        )
+    with pytest.raises(ValueError, match="changed configuration"):
+        resumable_match_pipeline(
+            spark, pages, wd, MatchConfig(num_hashes=32, bands=8), n_score_buckets=2
+        )
+    # the changed config runs fine in its own workdir
+    resumable_match_pipeline(
+        spark, pages, tmp_path / "pin2", MatchConfig(threshold=0.80),
+        n_score_buckets=2,
+    )
+
+
+def test_resumable_scores_with_full_config(spark, tmp_path, small_corpus):
+    """lev_prefix (and the cascade gate) must reach the bucket scorer:
+    the resumable path used to score with the DEFAULTS and silently
+    diverge from match_pipeline under the identical config."""
+    from entitymatch_spark.plans.pipeline import match_pipeline
+
+    fx, pages = small_corpus
+    cfg = MatchConfig(lev_prefix=48)
+    res = resumable_match_pipeline(
+        spark, pages, tmp_path / "lp", cfg, n_score_buckets=2
+    )
+    full = match_pipeline(pages, cfg)
+    a = {(r.id_a, r.id_b, round(r.lev_sim, 9)) for r in res["scored"].collect()}
+    b = {(r.id_a, r.id_b, round(r.lev_sim, 9)) for r in full.scored.collect()}
+    assert a == b

@@ -608,3 +608,42 @@ def test_rp_lsh_buckets_rejects_bad_embeddings(spark):
     )
     with pytest.raises(PythonException, match="length-2 vector"):
         rp_lsh_buckets(ragged, dim=2).collect()
+
+
+def test_exact_dedup_null_text_is_never_a_duplicate(spark):
+    """md5(NULL) is NULL and a window PARTITION BY groups NULLs
+    together: two contentless docs must NOT form a 'duplicate' group
+    (one of them would be deleted as a copy of unrelated content)."""
+    from entitymatch_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, norm_text string",
+    )
+    rows = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    assert rows[1].canonical_id == 1 and rows[2].canonical_id == 1
+    assert rows[1].n_dups == 2
+    assert rows[3].canonical_id == 3 and rows[3].n_dups == 1
+    assert rows[4].canonical_id == 4 and rows[4].n_dups == 1
+    assert rows[3].fingerprint is None
+
+
+def test_minhash_dedup_uses_exact_integer_gate(spark):
+    """minhash_dedup_pairs verifies through verify_token_jaccard — the
+    module's one gate — so a pair EXACTLY at the threshold is decided by
+    integer cross-multiplication, and the float jaccard column is still
+    reported."""
+    from entitymatch_spark.operators.dedup import minhash_dedup_pairs
+
+    # two docs sharing 7 of 10 distinct tokens: jaccard exactly 7/10
+    t = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, t), (2, t[:7] + ["x1", "x2", "x3"])],
+        "doc_id long, tokens array<string>",
+    )
+    out = minhash_dedup_pairs(
+        docs, num_hashes=16, bands=8, rows_per_band=2,
+        jaccard_threshold=(7, 13),  # inter=7, union=13
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert abs(out[0].jaccard - 7 / 13) < 1e-12

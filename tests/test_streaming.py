@@ -422,3 +422,41 @@ def test_stream_gates_pin_utc_and_restore(spark):
         assert rows_ny == rows_utc and len(rows_utc) > 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_stateful_sessionize_drops_null_event_times(spark, tmp_path):
+    """A NULL event time is not caught by the watermark late filter
+    (NULL predicate) and used to poison state: NaT.astype(int64) is
+    int64-min, corrupting session_start and crashing the flush with
+    OutOfBoundsDatetime — persistently, via the checkpoint. NULL-ts
+    rows must be dropped; the session over the remaining events is
+    untouched."""
+    import os
+    import pandas as pd
+
+    from entitymatch_spark.streaming.stateful import sessionize_stream
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [(1, base, 1.0), (1, base + pd.Timedelta(minutes=5), 2.0),
+            (1, None, 99.0)]  # the poison row
+    rows.append((999, base + pd.Timedelta(days=10), 0.0))  # sentinel
+    d = tmp_path / "null_ev"
+    d.mkdir()
+    df = spark.createDataFrame(
+        [(u, t.to_pydatetime() if t is not None else None, v) for u, t, v in rows],
+        "user_id long, ts timestamp, value double",
+    )
+    p = d / "chunk-0"
+    df.coalesce(1).write.parquet(str(p))
+    for f in p.rglob("*.parquet"):
+        os.utime(f, (1_700_000_000, 1_700_000_000))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(str(d) + "/*")
+    )
+    out = _run_stream(
+        spark, sessionize_stream(stream, gap_minutes=30, watermark="1 hour"),
+        "null_ts_sess",
+    ).filter(F.col("user_id") == 1).collect()
+    assert len(out) == 1
+    assert out[0].n_events == 2 and out[0].total == 3.0  # 99.0 dropped

@@ -25,7 +25,9 @@ def test_canonical_url_rules(spark):
     assert got[0] == got[1] == "https://www.site.com/Path/Page?a=1&b=2"
     assert got[2] == "http://host/p"
     assert got[3] == "http://host/p"            # tracking-only query drops
-    assert got[4] == "https://bare.example"
+    # RFC 3986 6.2.3: empty path normalizes to '/' (merges the
+    # host-only and trailing-slash spellings of the same page)
+    assert got[4] == "https://bare.example/"
     # path case preserved, host case folded
     assert "/Path/Page" in got[0] and "www.site.com" in got[0]
 
@@ -52,10 +54,11 @@ def test_canonical_url_query_edge_shapes(spark):
         "https://h?next=/home",           # '/' inside a query value
         "https://h/p?a=1?b=2",            # '?' inside the query (RFC-legal)
     ])
-    # distinct querys stay distinct even without a path
-    assert got[0] == "https://h?id=5" and got[1] == "https://h?id=6"
+    # distinct querys stay distinct even without a path; the empty
+    # path roots to '/' (RFC 3986 6.2.3)
+    assert got[0] == "https://h/?id=5" and got[1] == "https://h/?id=6"
     # the query-value '/' is not promoted into the path
-    assert got[2] == "https://h?next=/home"
+    assert got[2] == "https://h/?next=/home"
     # split at the FIRST '?': the whole 'a=1?b=2' is one query string
     assert got[3] == "https://h/p?a=1?b=2"
 
@@ -155,3 +158,19 @@ def test_canonical_url_embedded_scheme_in_query(spark):
     assert got[2] == "Example.com/OUT?u=HTTPS://T.com/Path"   # pass through
     assert got[3] == "//host/p?u=http://x.y/z"                # pass through
     assert got[4] == "https://a.com/r?u=https://b.com/X"      # rules still fire
+
+
+def test_canonical_url_empty_path_is_root(spark):
+    """RFC 3986 6.2.3: an empty path is equivalent to '/' — without the
+    rule 'https://host' and 'https://host/' were distinct canonical
+    keys and latest_snapshot kept both crawl rows of the same page."""
+    from entitymatch_spark.operators.urlnorm import canonical_url
+
+    df = spark.createDataFrame(
+        [("https://Example.com",), ("https://example.com/",),
+         ("https://example.com?b=2&a=1",), ("https://example.com/?b=2&a=1",)],
+        "url string",
+    )
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got[0] == got[1] == "https://example.com/"
+    assert got[2] == got[3] == "https://example.com/?a=1&b=2"
