@@ -97,10 +97,14 @@ def calibrate_from_labeled_pairs(
     the e2e tests.
     """
     feature_cols = feature_cols or FEATURES
+    # canonicalize the label orientation: candidate pairs are emitted
+    # with id_a < id_b, and nothing requires the caller's labels to be
+    # sorted — a reversed label would fail the equi-join and silently
+    # vanish from the fit, indistinguishable from a blocking miss
     joined = scored.join(
         labels.select(
-            F.col(label_a).alias(id_a),
-            F.col(label_b).alias(id_b),
+            F.least(F.col(label_a), F.col(label_b)).alias(id_a),
+            F.greatest(F.col(label_a), F.col(label_b)).alias(id_b),
             F.col(label_col).cast("int").alias("__y"),
         ),
         [id_a, id_b],
@@ -108,6 +112,15 @@ def calibrate_from_labeled_pairs(
     pdf = joined.select(*feature_cols, "__y").toPandas()
     if len(pdf) < 10:
         raise ValueError(f"too few labeled candidate pairs to calibrate: {len(pdf)}")
+    if pdf[feature_cols].isna().any().any():
+        # a NULL feature would flow through the numpy fit as NaN and
+        # poison every weight without error — the returned model then
+        # matches NOTHING (NaN >= threshold is false)
+        bad = [c for c in feature_cols if pdf[c].isna().any()]
+        raise ValueError(
+            f"labeled candidate pairs carry null features in {bad}; "
+            "coalesce or drop them before calibrating"
+        )
     return fit_logistic(
         pdf[feature_cols].to_numpy(), pdf["__y"].to_numpy(), feature_cols
     )

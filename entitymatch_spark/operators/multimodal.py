@@ -63,14 +63,15 @@ def _resize_real(payload: bytes, out_w: int, out_h: int) -> bytes:
     )
 
 
-def _fake_features(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in features derived from the payload bytes.
+def _fake_features(digest: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in features derived from the payload's md5
+    DIGEST (computed once by the caller, which also reports it as
+    content_md5 — large payloads must not be hashed twice per row).
 
     md5-derived (not sha1) so the DuckDB contract oracle can reproduce
     them: width/height/frames come from the first hex chars of the
     digest, i.e. substr(md5(payload), ...) in any engine with md5.
     """
-    digest = hashlib.md5(payload).digest()
     width = 16 + (int.from_bytes(digest[0:2], "big") % 2544)
     height = 16 + (int.from_bytes(digest[2:4], "big") % 1424)
     frames = 1 + digest[4] % 120
@@ -96,22 +97,23 @@ def extract_media_features(
                 pdf[id_col], pdf[payload_col], pdf[media_type_col]
             ):
                 data = bytes(payload) if payload is not None else b""
+                md5 = hashlib.md5(data)
                 if _HAVE_PIL and mtype == "image":
                     try:
                         w, h, fr = _decode_real(data, mtype)
                         status = "decoded"
                     except Exception:  # undecodable payload -> stub features
-                        w, h, fr = _fake_features(data)
+                        w, h, fr = _fake_features(md5.digest())
                         status = "stubbed"
                 else:
-                    w, h, fr = _fake_features(data)
+                    w, h, fr = _fake_features(md5.digest())
                     status = "stubbed"
                 rows.append(
                     {
                         "doc_id": str(rid),
                         "media_type": mtype,
                         "n_bytes": len(data),
-                        "content_md5": hashlib.md5(data).hexdigest(),
+                        "content_md5": md5.hexdigest(),
                         "width": w,
                         "height": h,
                         "n_frames": fr,
@@ -217,13 +219,20 @@ def sample_frames(
     (DuckDB has sha256 but not sha1).
     """
 
+    if max_frames < 1:
+        # fail at the driver with a named error: inside the worker this
+        # was an opaque ZeroDivisionError from '% max_frames' at action
+        # time
+        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
                 digest = hashlib.sha256(data + b"|frames").digest()
-                n = min(max_frames, 1 + digest[0] % max_frames)
+                # 1 + x % max_frames is already <= max_frames
+                n = 1 + digest[0] % max_frames
                 for i in range(n):
                     fd = hashlib.sha1(data + i.to_bytes(4, "big")).digest()
                     rows.append(

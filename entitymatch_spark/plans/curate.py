@@ -83,14 +83,16 @@ class CurateConfig:
         _check_band_geometry(self.bands, self.rows_per_band, self.minhash_hashes)
 
 
-def sample_hash(id_col, mod: int):
+def sample_hash(id_col, mod: int, salt: str = ""):
     """Deterministic per-id sampling hash in [0, mod): first 8 md5 hex
-    chars of the id's decimal string, as an integer. Portable — any
-    engine with md5 reproduces the keep decision."""
-    return (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long") % mod
-    )
+    chars of the (salt-prefixed) id's decimal string, as an integer.
+    Portable — any engine with md5 reproduces the keep decision. THE
+    one definition of the decision hash: split_assign salts it rather
+    than re-deriving its own copy, so the two cannot drift."""
+    key = F.col(id_col).cast("string")
+    if salt:
+        key = F.concat(F.lit(salt), key)
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
 
 
 def curate(
@@ -185,15 +187,7 @@ def split_assign(
             f"split weights {splits} must sum to mod={mod} "
             "(exact integer shares)"
         )
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long") % mod
-    )
+    h = sample_hash(id_col, mod, salt)
     expr = None
     edge = 0
     for label, weight in splits.items():

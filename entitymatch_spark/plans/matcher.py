@@ -67,7 +67,7 @@ def interpret(
     qtok = queries.select(
         "query_id", F.posexplode(tokenize("text")).alias("qpos", "token")
     )
-    # --- alternatives chain (SpellingAlternatives(SynonymAlternatives(Base)))
+    # --- alternatives chain (SynonymAlternatives(SpellingAlternatives(Base)))
     probe = qtok.select("token").distinct()
     spelled = spelling_alternatives(probe, index.vocab, max_edit=max_edit).select(
         "token", "alt_token", "weight"

@@ -30,12 +30,19 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_entitymatch_pyfile_added", False):
         return
-    tmp = Path(tempfile.mkdtemp(prefix="em_pyfiles_"))
-    zip_base = tmp / "entitymatch_spark"
-    shutil.make_archive(
-        str(zip_base), "zip", root_dir=str(_PKG_ROOT), base_dir="entitymatch_spark"
+    # One STABLE path per user, atomically replaced — mkdtemp leaked a
+    # new directory + zip per SparkContext (never cleaned, so bouncing
+    # sessions accumulated them in /tmp indefinitely). The rename keeps
+    # a concurrent second session reading a complete zip.
+    base = Path(tempfile.gettempdir()) / f"em_pyfiles_{os.getuid()}"
+    base.mkdir(parents=True, exist_ok=True)
+    tmp_zip = tempfile.mktemp(suffix=".zip", dir=str(base))
+    made = shutil.make_archive(
+        tmp_zip[:-4], "zip", root_dir=str(_PKG_ROOT), base_dir="entitymatch_spark"
     )
-    sc.addPyFile(str(zip_base) + ".zip")
+    final = base / "entitymatch_spark.zip"
+    Path(made).replace(final)
+    sc.addPyFile(str(final))
     sc._entitymatch_pyfile_added = True
 
 

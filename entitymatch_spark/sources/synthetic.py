@@ -53,6 +53,11 @@ _SYNONYMS = [
     ("big", "large", 0.85),
     ("large", "big", 0.85),
 ]
+# Synonym maps REPLACE a key token's alternatives (plans/matcher.py
+# interpret semantics, mirroring the reference's mouse -> {mouse 1.0,
+# mice 0.9}): every key needs its identity row at weight 1.0 or the
+# exact match itself is lost when the map is fed to interpret.
+_SYNONYMS += [(t, t, 1.0) for t in sorted({t for t, _, _ in _SYNONYMS})]
 
 _LANGS = ["en"] * 16 + ["de", "fr"]
 

@@ -105,3 +105,38 @@ def test_calibrated_rethreshold_clusters_f1(spark, corpus_run):
     )
     m = pair_metrics(pred, test, id_a="url_a", id_b="url_b").first()
     assert m["f1"] >= 0.99, dict(m.asDict())
+
+
+def test_calibrate_canonicalizes_label_orientation(spark, corpus_run):
+    """Labels supplied with url_a/url_b reversed must join the scored
+    table like the sorted ones — reversed pairs used to fail the
+    orientation-sensitive equi-join and silently vanish from the fit
+    (indistinguishable from blocking misses)."""
+    from entitymatch_spark.operators.calibrate import (
+        calibrate_from_labeled_pairs,
+    )
+
+    fx, dfs, scored = corpus_run
+    labels = dfs["labels"]
+    m_sorted = calibrate_from_labeled_pairs(scored, labels)
+    flipped = labels.select(
+        F.col("url_b").alias("url_a"),
+        F.col("url_a").alias("url_b"),
+        "is_match",
+    )
+    m_flipped = calibrate_from_labeled_pairs(scored, flipped)
+    assert m_flipped.weights == m_sorted.weights
+    assert m_flipped.bias == m_sorted.bias
+
+
+def test_calibrate_rejects_null_features(spark, corpus_run):
+    """A NULL feature poisons the numpy fit into all-NaN weights with
+    no error and a model that matches nothing — fail fast instead."""
+    from entitymatch_spark.operators.calibrate import (
+        calibrate_from_labeled_pairs,
+    )
+
+    fx, dfs, scored = corpus_run
+    poisoned = scored.withColumn("cosine", F.lit(None).cast("double"))
+    with pytest.raises(ValueError, match="null features"):
+        calibrate_from_labeled_pairs(poisoned, dfs["labels"])

@@ -647,3 +647,30 @@ def test_minhash_dedup_uses_exact_integer_gate(spark):
     ).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
     assert abs(out[0].jaccard - 7 / 13) < 1e-12
+
+
+def test_sample_frames_rejects_nonpositive_max(spark):
+    """max_frames < 1 fails at the driver with a named error, not a
+    worker-side ZeroDivisionError at action time."""
+    import pytest
+
+    from entitymatch_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="max_frames"):
+        sample_frames(df, max_frames=0)
+
+
+def test_synthetic_synonyms_carry_identity_rows(spark):
+    """The fixture synonym map must be usable by interpret, whose
+    replacement semantics require each key's identity row (mouse ->
+    {mouse 1.0, mice 0.9}) — without it every key token loses its
+    exact match."""
+    from entitymatch_spark.sources.synthetic import generate_corpus
+
+    syn = generate_corpus(n_clusters=2, seed=1).synonyms
+    keys = set(syn["token"])
+    idents = {
+        (t, a) for t, a, w in syn.itertuples(index=False) if t == a and w == 1.0
+    }
+    assert {(k, k) for k in keys} <= idents
