@@ -196,15 +196,41 @@ def _idf(spark: SparkSession, sf_dir: str):
     return docs, posting, token_idf(posting, n_docs=n)
 
 
+def _pinned_utc(fn):
+    """Run the gate with spark.sql.session.timeZone pinned to UTC and
+    RESTORE the caller's value on exit (don't leak the pin into every
+    query ordered after this one). Safe to restore at return: all the
+    tz-sensitive work (string->timestamp casts, sessionize state
+    arithmetic, the oracle's epoch agreement) materializes INSIDE the
+    call via the memory-sink drain, and the returned DataFrame applies
+    only tz-independent ops (unix_micros, round, int filters). Also
+    safe for LAZY batch queries (q_sessionize_events): Spark resolves
+    session-timezone-dependent expressions (the NTZ->LTZ cast) during
+    ANALYSIS, which runs eagerly when the DataFrame is built — inside
+    the pin — so the baked zone survives the restore."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf):
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            return fn(spark, sf)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+    return wrapper
+
+
 def _trigram_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # THE shingle construction (functions/text.ngram_expr) — a local
+    # copy here could silently drift from the operators' grams
+    from entitymatch_spark.functions.text import ngram_expr
+
     docs = _docs(spark, sf_dir).filter(F.col("lang") == "de")
-    tri = F.when(F.size("tokens") < 3, F.array().cast("array<string>")).otherwise(
-        F.expr(
-            "transform(sequence(0, size(tokens) - 3),"
-            " i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))"
-        )
-    )
-    return docs.select("doc_id", F.explode(tri).alias("key")).distinct()
+    return docs.select(
+        "doc_id", F.explode(ngram_expr("tokens", 3)).alias("key")
+    ).distinct()
 
 
 def _tri_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,14 +570,12 @@ def q_dedup_exact(spark, sf):  # exact dedup via content hash
 
 
 def q_dedup_ngram_jaccard(spark, sf):  # word-bigram jaccard over candidates
+    from entitymatch_spark.functions.text import ngram_expr
+
     d = _docs(spark, sf)
-    bi = F.when(F.size("tokens") < 2, F.array().cast("array<string>")).otherwise(
-        F.expr(
-            "transform(sequence(0, size(tokens) - 2),"
-            " i -> concat_ws(' ', tokens[i], tokens[i+1]))"
-        )
+    sets = d.select(
+        "doc_id", F.array_distinct(ngram_expr("tokens", 2)).alias("bset")
     )
-    sets = d.select("doc_id", F.array_distinct(bi).alias("bset"))
     pairs = _tri_pairs(spark, sf).select("id_a", "id_b")
     a = sets.select(F.col("doc_id").alias("id_a"), F.col("bset").alias("sa"))
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("bset").alias("sb"))
@@ -767,12 +791,16 @@ def q_rollup_events(spark, sf):  # grouping-sets breadth (free from Catalyst)
     )
 
 
+@_pinned_utc
 def q_sessionize_events(spark, sf):  # gap-based sessionization (lag + cumsum)
     from pyspark.sql import Window
 
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet gives TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+    # parquet gives TIMESTAMP_NTZ; the NTZ->LTZ cast resolves the
+    # SESSION time zone (at plan analysis, i.e. inside the pin) — a DST
+    # zone would shift one inter-event gap across a transition and flip
+    # a 30-min session split vs the oracle's naive epoch_us
     us = F.unix_micros(F.col("ts").cast("timestamp"))  # micros, matches epoch_us
     gap = us - F.lag(us).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
@@ -1314,28 +1342,6 @@ def _drain_stream_to_table(spark, out_df, prefix: str) -> DataFrame:
         # secondary FileNotFound errors mask the root cause
         q.stop()
     return spark.table(name)
-
-
-def _pinned_utc(fn):
-    """Run the gate with spark.sql.session.timeZone pinned to UTC and
-    RESTORE the caller's value on exit (don't leak the pin into every
-    query ordered after this one). Safe to restore at return: all the
-    tz-sensitive work (string->timestamp casts, sessionize state
-    arithmetic, the oracle's epoch agreement) materializes INSIDE the
-    call via the memory-sink drain, and the returned DataFrame applies
-    only tz-independent ops (unix_micros, round, int filters)."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapper(spark, sf):
-        prev = spark.conf.get("spark.sql.session.timeZone")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        try:
-            return fn(spark, sf)
-        finally:
-            spark.conf.set("spark.sql.session.timeZone", prev)
-
-    return wrapper
 
 
 @_pinned_utc

@@ -28,7 +28,7 @@ Two subprocess legs (one JVM per master):
    per-leg pairs-scored/sec at the floors + `efficiency` (floor
    ratio, headline) + `efficiency_median_round` and
    `efficiency_best_round` for transparency.
-3. Full run at local[$SPARK_GRAFT_CPUS] (default 32): end-to-end
+2. Full run at local[$SPARK_GRAFT_CPUS] (default 32): end-to-end
    pipeline on the sf-sized corpus + headline operator queries from
    __spark_entry__ on $SPARK_GRAFT_SF_DIR testdata.
 """
@@ -463,7 +463,11 @@ def _incremental_stage(spark, n_clusters: int) -> dict:
         state_dir = tempfile.mkdtemp(prefix="bench_state_")
         st0 = initial_state(corpus, cfg)  # untimed standing corpus
         save_state(st0, state_dir)
-        st0.docs.unpersist()
+        # release EVERYTHING the untimed build cached (docs AND the
+        # candidate-pair table cfg.cache persisted): leaked cache
+        # entries sit in executor storage through the timed reps below
+        # and turn into eviction/GC noise inside the measured windows
+        spark.catalog.clearCache()
         t_incr, n_total = float("inf"), 0
         # min-of-3 here even when BLOCK_REPEATS=2: each timed rep
         # directly follows the untimed state build (a multi-minute
@@ -571,13 +575,22 @@ def main() -> None:
             out = f.name
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus)
-        subprocess.run(
-            [sys.executable, str(REPO / "bench.py"), "--child", str(cpus), mode, out],
-            check=True, env=env,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
-        results[mode] = json.loads(Path(out).read_text())
-        os.unlink(out)
+        try:
+            # capture (don't discard) child output: on failure the Spark
+            # traceback lives in the child's stderr, and a bare
+            # CalledProcessError with no context is undiagnosable
+            proc = subprocess.run(
+                [sys.executable, str(REPO / "bench.py"), "--child", str(cpus), mode, out],
+                env=env, capture_output=True, text=True,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-8000:])
+                raise subprocess.CalledProcessError(
+                    proc.returncode, proc.args, proc.stdout, proc.stderr
+                )
+            results[mode] = json.loads(Path(out).read_text())
+        finally:
+            Path(out).unlink(missing_ok=True)
 
     scale = results["scale"]
     full = results["full"]
