@@ -1,0 +1,202 @@
+"""Property-based invariants over the pure-Python golden twins.
+
+The repo's fuzz tests (test_similarity.py, test_urlnorm.py,
+test_pii_repetition.py) draw fixed-seed random strings from limited
+alphabets. Hypothesis adds the two things those can't: adversarial
+input generation over full Unicode / pathological shapes, and
+counterexample shrinking. Everything here is driver-side pure Python —
+no Spark session — so the whole module runs in seconds.
+
+Determinism: ``derandomize=True`` makes every run generate the same
+examples (CI-stable); ``database=None`` keeps hypothesis from writing a
+.hypothesis/ cache dir into the repo.
+
+What is *not* asserted, deliberately:
+
+- normalize idempotence: py_normalize strips parens AFTER trim, so a
+  leading "(x) y" normalizes to " y" (outer space kept) — faithful to
+  the reference (Language.cs:32 Trim().ToLower() then regex), so
+  re-normalizing trims further. Not a bug; not a valid property.
+- cross-engine (Java/RE2/C#) equality on arbitrary Unicode: the
+  byte-identical surface is pinned by the corpus golden tests on the
+  fixtures' charset; engines legitimately diverge on exotic casefolds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entitymatch_spark.functions.similarity import (
+    _jaro_naive,
+    jaro,
+    jaro_profile,
+    jaro_winkler,
+    jaro_winkler_with_profile,
+    levenshtein_bounded,
+    tfidf_cosine_and_containment,
+    tfidf_pair_from_profiles,
+    tfidf_profile,
+)
+from entitymatch_spark.functions.text import py_normalize, py_tokenize
+
+COMMON = settings(derandomize=True, database=None, max_examples=300)
+
+# Mixed strategy: small alphabets force collisions/transpositions (the
+# interesting Jaro/Levenshtein regime); full text exercises Unicode.
+short_collidey = st.text(alphabet="abАБ💡", max_size=24)
+any_text = st.text(max_size=48)
+strings = st.one_of(short_collidey, any_text)
+
+tokens = st.lists(st.text(alphabet="abcde", min_size=1, max_size=4), max_size=12)
+idf_maps = st.dictionaries(
+    st.text(alphabet="abcde", min_size=1, max_size=4),
+    st.floats(min_value=1e-6, max_value=10.0, allow_nan=False),
+    max_size=16,
+)
+
+
+# --- Jaro / Jaro-Winkler ------------------------------------------------
+
+@COMMON
+@given(strings, strings)
+def test_fast_jaro_equals_naive(a, b):
+    # m and t are integers in both implementations; equal (m, t) means
+    # bit-identical float arithmetic, so exact equality is the contract.
+    assert jaro(a, b) == _jaro_naive(a, b)
+
+
+@COMMON
+@given(strings, strings)
+def test_jaro_symmetric_bounded(a, b):
+    j = jaro(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == jaro(b, a)
+    if a and a == b:
+        assert j == 1.0
+
+
+@COMMON
+@given(strings, strings)
+def test_jaro_winkler_bounds_and_profile_parity(a, b):
+    jw = jaro_winkler(a, b)
+    j = jaro(a, b)
+    # boost adds prefix * 0.1 * (1 - j) >= 0, and jw <= j + 0.4*(1-j) <= 1
+    assert j <= jw <= 1.0
+    prof = jaro_profile(b)
+    assert jaro_winkler_with_profile(a, b, prof) == jw
+
+
+# --- Levenshtein --------------------------------------------------------
+
+@COMMON
+@given(strings, strings)
+def test_levenshtein_metric_properties(a, b):
+    d = levenshtein_bounded(a, b)
+    assert d == levenshtein_bounded(b, a)
+    assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
+    assert (d == 0) == (a == b)
+
+
+@COMMON
+@given(strings, strings, st.integers(min_value=0, max_value=6))
+def test_levenshtein_cap_semantics(a, b, cap):
+    # The band cap's contract: exact when within the cap, and any
+    # value > cap (the scorer only compares <= cap) when beyond it.
+    d = levenshtein_bounded(a, b)
+    capped = levenshtein_bounded(a, b, cap)
+    if d <= cap:
+        assert capped == d
+    else:
+        assert capped > cap
+
+
+@COMMON
+@given(
+    st.text(alphabet="abc", max_size=12),
+    st.text(alphabet="abc", max_size=12),
+    st.text(alphabet="abc", max_size=12),
+)
+def test_levenshtein_triangle_inequality(a, b, c):
+    assert levenshtein_bounded(a, c) <= (
+        levenshtein_bounded(a, b) + levenshtein_bounded(b, c)
+    )
+
+
+# --- TF-IDF cosine / containment ---------------------------------------
+
+@COMMON
+@given(tokens, tokens, idf_maps)
+def test_tfidf_profile_form_equals_direct(ta, tb, idf):
+    # The scorer's cached-profile fast path must be the same function as
+    # the direct form. Both compute the shared-term sums over the same
+    # (token, count) multiset, but may iterate dict entries in different
+    # orders — float addition isn't associative, so compare with a tight
+    # epsilon rather than bit equality.
+    pa, pb = tfidf_profile(ta, idf), tfidf_profile(tb, idf)
+    cos_p, con_p = tfidf_pair_from_profiles(pa, pb, idf)
+    cos_d, con_d = tfidf_cosine_and_containment(ta, tb, idf)
+    assert abs(cos_p - cos_d) < 1e-12
+    assert abs(con_p - con_d) < 1e-12
+
+
+@COMMON
+@given(tokens, tokens, idf_maps)
+def test_tfidf_bounds_and_symmetry(ta, tb, idf):
+    cos, con = tfidf_cosine_and_containment(ta, tb, idf)
+    assert 0.0 <= cos <= 1.0 + 1e-12
+    assert 0.0 <= con <= 1.0 + 1e-12
+    cos2, con2 = tfidf_cosine_and_containment(tb, ta, idf)
+    assert abs(cos - cos2) < 1e-12
+    assert abs(con - con2) < 1e-12
+
+
+@COMMON
+@given(tokens, idf_maps)
+def test_tfidf_self_similarity(ta, idf):
+    cos, con = tfidf_cosine_and_containment(ta, ta, idf)
+    if ta:
+        assert abs(cos - 1.0) < 1e-12
+        assert abs(con - 1.0) < 1e-12
+    else:
+        assert cos == con == 0.0
+
+
+# --- Tokenization -------------------------------------------------------
+
+@COMMON
+@given(any_text)
+def test_tokens_are_ascii_word_runs_in_order(s):
+    norm = py_normalize(s)
+    toks = py_tokenize(s)
+    # Every token is a nonempty ASCII \w run, and the token sequence is
+    # recoverable left-to-right from the normalized text (the offsets
+    # UDF contract: norm[start:start+length] == token).
+    pos = 0
+    for t in toks:
+        assert t and all(c.isascii() and (c.isalnum() or c == "_") for c in t)
+        found = norm.find(t, pos)
+        assert found >= 0
+        pos = found + len(t)
+
+
+@COMMON
+@given(any_text)
+def test_normalize_strips_all_parens(s):
+    # After one pass no openable group remains: any "(" left has no
+    # matching ")" after it (the regex removed every closable group).
+    norm = py_normalize(s)
+    i = norm.find("(")
+    while i >= 0:
+        assert ")" not in norm[i + 1 :]
+        i = norm.find("(", i + 1)
+
+
+@COMMON
+@given(any_text)
+def test_tokens_stable_under_renormalization(s):
+    # Operators that store normalized text and re-tokenize it later
+    # (posting build vs span scoring) must see the same tokens as a
+    # raw-text tokenization: the second normalize pass may trim edge
+    # whitespace the paren-strip exposed, but \w+ runs can't change.
+    assert py_tokenize(py_normalize(s)) == py_tokenize(s)
