@@ -192,6 +192,59 @@ def test_normalize_strips_all_parens(s):
         i = norm.find("(", i + 1)
 
 
+# --- Rational thresholds / the integer quality gate ---------------------
+
+@COMMON
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=1, max_value=10_000))
+def test_coerce_rational_roundtrips_exact_pairs_and_floats(num, den):
+    from entitymatch_spark.operators.textstats import coerce_rational
+
+    assert coerce_rational((num, den)) == (num, den)
+    # A legacy float of any den<=10000 rational coerces to an equivalent
+    # fraction (possibly reduced) within the documented 1e-9 tolerance.
+    x = num / den
+    n2, d2 = coerce_rational(x)
+    assert d2 > 0
+    assert abs(n2 / d2 - x) <= 1e-9 * max(1.0, abs(x))
+
+
+@COMMON
+@given(
+    st.integers(min_value=1, max_value=200),   # n tokens
+    st.integers(min_value=0, max_value=200),   # distinct (clamped to n)
+    st.integers(min_value=0, max_value=200),   # stopword occurrences (clamped)
+    st.integers(min_value=0, max_value=2000),  # extra chars beyond 1/token
+    st.integers(min_value=0, max_value=100),   # threshold numerator
+    st.integers(min_value=1, max_value=100),   # threshold denominator
+)
+def test_integer_quality_gate_coefficients_match_exact_arithmetic(
+    n, u, s, extra, qnum, qden
+):
+    # Re-derive quality_at_least's hand-derived integer inequalities
+    # (textstats.py:184-186) against the float formula evaluated in
+    # EXACT Fraction arithmetic — the pure-Python complement of the
+    # Spark drift-sweep (test_quality_gate_matches_float_formula),
+    # covering the whole integer lattice rather than corpus samples.
+    from fractions import Fraction as Fr
+
+    u = max(1, min(u, n))      # at least 1 distinct token when n > 0
+    s = min(s, n)
+    tl = n + extra             # every token has >= 1 char
+    quality = (
+        Fr(2, 5) * Fr(u, n)
+        + Fr(3, 10) * (1 - Fr(s, n))
+        + Fr(3, 10) * min(Fr(tl, 8 * n), Fr(1))
+    )
+    expected = quality >= Fr(qnum, qden)
+    if tl >= 8 * n:
+        got = qden * (4 * u + 3 * (n - s) + 3 * n) >= 10 * qnum * n
+    else:
+        got = qden * (32 * u + 24 * (n - s) + 3 * tl) >= 80 * qnum * n
+    assert got == expected
+
+
+# --- Tokenization -------------------------------------------------------
+
 @COMMON
 @given(any_text)
 def test_tokens_stable_under_renormalization(s):
