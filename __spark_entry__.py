@@ -27,7 +27,13 @@ if str(_REPO) not in sys.path:
 # Shared SQL fragments (DuckDB side). Backslashes are literal in DuckDB
 # string literals; 'g' makes regexp_replace global like Spark's.
 # ---------------------------------------------------------------------------
-NORM = r"regexp_replace(lower(trim(text)), '\([^)]*\)', '', 'g')"
+# trim charset = functions.text.ASCII_WS (bare DuckDB trim strips
+# spaces only; the pinned invariant surface is ASCII whitespace —
+# chr(9/10/13/12/11) = \t \n \r \f \x0b)
+NORM = (
+    r"regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)"
+    r" || chr(12) || chr(11))), '\([^)]*\)', '', 'g')"
+)
 TOKS = rf"regexp_extract_all({NORM}, '\w+')"
 
 # full-corpus token positions (0-based, matching posexplode)
@@ -1207,10 +1213,11 @@ def q_media_features(spark, sf):
 
 
 def q_token_count_bpe(spark, sf):
+    from entitymatch_spark.functions.text import normalize_text
     from entitymatch_spark.operators.textstats import token_count_bpe
 
     d = _t(spark, sf, "documents").select(
-        "doc_id", F.regexp_replace(F.lower(F.trim("text")), r"\([^)]*\)", "").alias("norm_text")
+        "doc_id", normalize_text("text").alias("norm_text")
     )
     return token_count_bpe(d)
 

@@ -18,6 +18,17 @@ Spark's regex builtins don't expose, so it is a batched Arrow pandas UDF
 Regex note: Java (Spark), RE2 (DuckDB oracle) and C# agree that the
 fixtures' tokens are ASCII \\w = [A-Za-z0-9_]; the Python UDF pins
 re.ASCII so all four engines tokenize identically.
+
+Trim note: the reference's Trim() strips Unicode whitespace
+(Char.IsWhiteSpace). Spark's bare ``trim`` and DuckDB's bare ``trim``
+strip SPACES ONLY — so "\\tfoo" / "bar\\n" edges used to keep their
+tabs/newlines on the engine side while the Python twin (str.strip())
+dropped them. The engine pins the ASCII-WHITESPACE surface
+(``ASCII_WS``): Spark charset trim, DuckDB ``trim(text, chars)``, and
+Python ``strip(ASCII_WS)`` all agree byte-for-byte, and match C# on
+every ASCII input (fixtures are ASCII by design). Unicode-only
+whitespace (U+00A0 etc.) is outside the pinned surface: all three
+engines here KEEP it, C# would strip it — documented residual.
 """
 
 from __future__ import annotations
@@ -30,15 +41,24 @@ from pyspark.sql import functions as F
 
 NORMALIZE_PAREN_RE = r"\([^)]*\)"
 TOKEN_RE = r"\w+"
+# The pinned trim charset (see module docstring). \x0b == \v; Java
+# regex treats \v as a character CLASS, so charset-trim (not regex) on
+# the Spark side keeps the two engines trivially aligned.
+ASCII_WS = " \t\n\r\f\x0b"
 
 _PY_PAREN_RE = re.compile(r"\([^)]*\)")
 _PY_TOKEN_RE = re.compile(r"\w+", re.ASCII)
 
 
 def normalize_text(col: Column | str) -> Column:
-    """trim -> lower -> strip parens (ref: Language.cs:32)."""
+    """trim -> lower -> strip parens (ref: Language.cs:32).
+
+    ASCII-whitespace charset trim, NOT bare F.trim (spaces only) — see
+    the module docstring's trim note."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), NORMALIZE_PAREN_RE, "")
+    return F.regexp_replace(
+        F.lower(F.trim(c, F.lit(ASCII_WS))), NORMALIZE_PAREN_RE, ""
+    )
 
 
 def tokenize(col: Column | str, *, normalize: bool = True) -> Column:
@@ -50,8 +70,12 @@ def tokenize(col: Column | str, *, normalize: bool = True) -> Column:
 
 
 def py_normalize(s: str) -> str:
-    """Driver/test-side reference reimplementation (golden oracle)."""
-    return _PY_PAREN_RE.sub("", s.strip().lower())
+    """Driver/test-side reference reimplementation (golden oracle).
+
+    strip(ASCII_WS), not bare strip(): Python's strip() also removes
+    \\x1c-\\x1f, \\x85 and Unicode spaces, which the Java/DuckDB charset
+    trims keep — the pinned surface is ASCII whitespace only."""
+    return _PY_PAREN_RE.sub("", s.strip(ASCII_WS).lower())
 
 
 def py_tokenize(s: str, *, normalize: bool = True) -> list[str]:
@@ -79,7 +103,7 @@ def tokenize_with_offsets(col: Column | str) -> Column:
             def one(s: str | None):
                 if s is None:
                     return []
-                norm = _PY_PAREN_RE.sub("", s.strip().lower())
+                norm = _PY_PAREN_RE.sub("", s.strip(ASCII_WS).lower())
                 return [
                     {"token": m.group(0), "start": m.start(), "length": m.end() - m.start()}
                     for m in _PY_TOKEN_RE.finditer(norm)

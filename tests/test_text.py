@@ -158,3 +158,43 @@ def test_html_to_text_goldens(spark):
         [("<body>  a\n\n<b>b</b>   c </body>",)], "html string"
     ).select(html_to_text("html", collapse_ws=True).alias("g")).collect()[0]["g"]
     assert one == "a b c"
+
+
+def test_normalize_trim_charset_three_engine_agreement(spark):
+    """The ASCII-whitespace trim surface: Spark charset trim, the DuckDB
+    oracle's NORM fragment, and py_normalize must agree byte-for-byte on
+    leading/trailing \\t \\n \\r \\f \\x0b — the edge where bare
+    trim()/strip() used to diverge (spaces-only vs all-whitespace).
+    Unicode-only whitespace (U+00A0) is OUTSIDE the pinned surface: all
+    three engines keep it (the reference's C# Trim would strip it —
+    documented residual, functions/text.py module docstring)."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    edges = [
+        "\tfoo", "bar\n", "\r\nBoth (x)\t", "\x0bvt", "\fff\f",
+        " \t mixed \n ", "\t", "", " ", "a\u00a0b", "\u00a0nbsp kept\u00a0",
+    ]
+    rng = random.Random(99)
+    chars = "ab (x)\t\n\r\f\x0b _A."
+    fuzz = ["".join(rng.choice(chars) for _ in range(rng.randrange(0, 30)))
+            for _ in range(400)]
+    cases = edges + fuzz
+
+    df = spark.createDataFrame([(s,) for s in cases], "text string")
+    spark_norm = [r[0] for r in df.select(normalize_text("text")).collect()]
+    py_norm = [py_normalize(s) for s in cases]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"(?)" for _ in cases)
+                + ") t(text)", cases)
+    duck_norm = [r[0] for r in con.execute(
+        f"SELECT {entry.NORM} FROM documents").fetchall()]
+
+    assert spark_norm == py_norm == duck_norm
+    # the NBSP case proves the pinned surface keeps Unicode whitespace
+    assert py_normalize("\u00a0nbsp kept\u00a0") == "\u00a0nbsp kept\u00a0"
