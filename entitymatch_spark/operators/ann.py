@@ -28,7 +28,11 @@ def cosine_expr(a: str, b: str) -> Column:
     dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
     na = F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + v * v)"))
     nb = F.sqrt(F.expr(f"aggregate({b}, 0D, (acc, v) -> acc + v * v)"))
-    return dot / (na * nb)
+    # Zero-magnitude guard: without it a zero vector yields NaN, and in
+    # Spark's ordering NaN sorts ABOVE every number — one dead (all-zero)
+    # embedding would rank FIRST in every top-k window it reaches. A
+    # zero vector has no direction: similarity 0 to everything.
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
 def cosine_topk(

@@ -674,3 +674,26 @@ def test_synthetic_synonyms_carry_identity_rows(spark):
         (t, a) for t, a, w in syn.itertuples(index=False) if t == a and w == 1.0
     }
     assert {(k, k) for k in keys} <= idents
+
+
+def test_ann_zero_vector_never_outranks_real_neighbors(spark):
+    """A zero-magnitude embedding (dead doc) must score cosine 0.0, not
+    NaN — Spark orders NaN above every number, so an unguarded division
+    would rank the dead vector FIRST in every top-k it reaches."""
+    from entitymatch_spark.operators.ann import cosine_topk
+
+    e = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # near doc 0
+            (2, [0.0, 0.0, 0.0]),   # dead embedding
+            (3, [0.1, 1.0, 0.0]),   # weakly similar to doc 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_topk(e.filter("vec_id = 0"), e, k=3).collect()
+    order = [r["nid"] for r in rows]
+    # every nonzero-similarity vector outranks the dead one
+    assert order == [1, 3, 2]
+    dead = rows[-1]
+    assert dead["cosine"] == 0.0              # scores 0.0, not NaN
