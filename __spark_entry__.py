@@ -1050,6 +1050,42 @@ def q_redact_pii(spark, sf):
     return redact_pii(d)
 
 
+def q_dedup_boilerplate(spark, sf):
+    """Cross-corpus boilerplate line removal (the C4 rule,
+    operators/dedup.py remove_boilerplate_lines): every occurrence of a
+    line recurring >= 3 times corpus-wide is dropped, order preserved,
+    fully-boilerplate docs kept with empty clean_text. The fixture's
+    word-soup text has no newlines, so the query first wraps each doc's
+    normalized tokens into deterministic 8-token lines (same reshaping
+    in the oracle) — duplicate docs then share exact lines, giving the
+    rule a real removal signal (56 line occurrences at sf0.01)."""
+    from entitymatch_spark.functions.text import tokenize
+    from entitymatch_spark.operators.dedup import remove_boilerplate_lines
+
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", tokenize("text").alias("tk"))
+        .filter(F.size("tk") > 0)
+    )
+    wrapped = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(tk) / 8.0) as int) - 1),"
+                " i -> concat_ws(' ', slice(tk, i * 8 + 1, 8)))"
+            ),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(wrapped, min_occurrences=3)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 def q_domain_stats(spark, sf):
     """Domain-level curation rollup (the whole-domain filter stage of a
     web pipeline: drop or downweight sources whose aggregate quality /
@@ -1677,13 +1713,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship pipeline first (always verified), then the queries
         # that are NEW or CHANGED this round (the two streaming standing
         # gates; curate_corpus whose oracle gained the explicit n>0
-        # guard; redact_pii which gained the custom_rules seam), then
-        # the 27 queries whose last driver row is r3 (rotated past the
-        # r4 cap, unchanged since), then the most load-bearing r4-green
-        # rows up to the cap. The ~29 entries past the cap are ALL
-        # r4 hash-green and unchanged this round, so at close every
-        # registry query has a green driver row in r4 ∪ r5 — no query's
-        # last driver verification is more than one round old.
+        # guard; redact_pii which gained the custom_rules seam; the
+        # closing session's dedup_boilerplate), then the 27 queries
+        # whose last driver row is r3 (rotated past the r4 cap,
+        # unchanged since), then the most load-bearing r4-green rows up
+        # to the cap. The ~30 entries past the cap are ALL r4 hash-green
+        # and unchanged this round, so at close every registry query has
+        # a green driver row in r4 ∪ r5 — no query's last driver
+        # verification is more than one round old.
         # ---- flagship (always verified) ----
         "match_clusters_token": q_match_clusters_token,
         "match_clusters_lsh": q_match_clusters_lsh,
@@ -1695,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- touched round 5 (oracle guard / extension seam) ----
         "curate_corpus": q_curate_corpus,
         "redact_pii": q_redact_pii,
+        # ---- NEW closing session: C4 boilerplate-line removal ----
+        "dedup_boilerplate": q_dedup_boilerplate,
         # ---- last driver row is r3 — rotate back inside the cap ----
         "embed_hash": q_embed_hash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2504,6 +2543,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_ip AS BIGINT) AS n_ip,
                    CAST(n_phone AS BIGINT) AS n_phone
             FROM s3
+        """,
+        # C4 boilerplate-line removal: same deterministic 8-token line
+        # reshaping as the Spark query, then md5(line)-keyed corpus-wide
+        # count >= 3 -> drop every occurrence, rebuild in pos order
+        "dedup_boilerplate": f"""
+            WITH t0 AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+            toks AS (SELECT * FROM t0 WHERE len(tk) > 0),
+            wrapped AS (SELECT doc_id,
+                list_transform(range(CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                               i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS ls
+                FROM toks),
+            lines AS (SELECT doc_id, unnest(ls) AS line,
+                             generate_subscripts(ls, 1) AS pos FROM wrapped),
+            flagged AS (SELECT md5(line) AS k FROM lines WHERE line <> ''
+                        GROUP BY 1 HAVING count(*) >= 3),
+            kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+                     LEFT JOIN flagged f ON md5(l.line) = f.k
+                     WHERE f.k IS NULL),
+            reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct,
+                           count(*) AS n_kept FROM kept GROUP BY 1),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+            SELECT t.doc_id, coalesce(r.ct, '') AS clean_text,
+                   t.n_lines, t.n_lines - coalesce(r.n_kept, 0) AS n_removed
+            FROM tot t LEFT JOIN reb r USING (doc_id)
         """,
         # per-source rollup: quality_score + lang_id composed per doc,
         # integer-scaled quality sums (order-independent), one final

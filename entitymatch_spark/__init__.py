@@ -71,6 +71,7 @@ _EXPORTS = {
     "decontaminate": "entitymatch_spark.operators.decontam",
     "exact_dedup": "entitymatch_spark.operators.dedup",
     "dedup_survivors": "entitymatch_spark.operators.dedup",
+    "remove_boilerplate_lines": "entitymatch_spark.operators.dedup",
     "redact_pii": "entitymatch_spark.operators.pii",
     "canonical_url": "entitymatch_spark.operators.urlnorm",
     "latest_snapshot": "entitymatch_spark.operators.urlnorm",

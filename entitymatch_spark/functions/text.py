@@ -42,9 +42,13 @@ from pyspark.sql import functions as F
 NORMALIZE_PAREN_RE = r"\([^)]*\)"
 TOKEN_RE = r"\w+"
 # The pinned trim charset (see module docstring). \x0b == \v; Java
-# regex treats \v as a character CLASS, so charset-trim (not regex) on
-# the Spark side keeps the two engines trivially aligned.
+# regex treats a bare \v as a character CLASS, so the regex below
+# embeds the raw charset bytes in its character class instead.
 ASCII_WS = " \t\n\r\f\x0b"
+# Edge-anchored charset trim as ONE global regexp (Spark's two-arg
+# trim() signature is deprecated in 4.x; this stays codegen'd and is
+# byte-equivalent for any charset without regex metacharacters).
+_TRIM_RE = f"^[{ASCII_WS}]+|[{ASCII_WS}]+$"
 
 _PY_PAREN_RE = re.compile(r"\([^)]*\)")
 _PY_TOKEN_RE = re.compile(r"\w+", re.ASCII)
@@ -57,7 +61,7 @@ def normalize_text(col: Column | str) -> Column:
     the module docstring's trim note."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(
-        F.lower(F.trim(c, F.lit(ASCII_WS))), NORMALIZE_PAREN_RE, ""
+        F.lower(F.regexp_replace(c, _TRIM_RE, "")), NORMALIZE_PAREN_RE, ""
     )
 
 

@@ -414,3 +414,68 @@ def verify_token_jaccard(
             F.when(union == 0, F.lit(0.0)).otherwise(inter / union),
         )
     return out.drop("_ts_a", "_ts_b")
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_occurrences: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus boilerplate line removal (the C4 rule: drop every
+    occurrence of any line that appears >= ``min_occurrences`` times in
+    the whole corpus — navigation bars, cookie banners, footers).
+
+    Returns (id, clean_text, n_lines, n_removed); a doc whose every
+    line is boilerplate keeps its row with clean_text = ''. Lines are
+    compared as EXACT bytes (callers normalize first if they want
+    case/whitespace folding — C4 itself matches stripped lines);
+    empty lines are structural and never counted or removed.
+
+    Scale shape: one explode, a map-side-combinable count and the
+    anti-join both keyed on md5(line) — a fixed 32-char shuffle key
+    regardless of line length — and one per-doc rebuild groupBy. The
+    flagged side is count-filtered (only lines ALREADY seen >=
+    min_occurrences times), so it is tiny next to the corpus. No UDF
+    anywhere; the rebuild preserves original line order via a sorted
+    (pos, line) struct array.
+    """
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be >= 2 (got {min_occurrences}): at 1 "
+            "every non-empty line is boilerplate and every doc empties"
+        )
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(text_col, "\n", -1)).alias("pos", "line"),
+    ).withColumn("k", F.md5("line"))
+    flagged = (
+        lines.filter(F.col("line") != "")
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_occurrences)
+        .select("k")
+    )
+    kept = lines.join(flagged, "k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -697,3 +697,40 @@ def test_ann_zero_vector_never_outranks_real_neighbors(spark):
     assert order == [1, 3, 2]
     dead = rows[-1]
     assert dead["cosine"] == 0.0              # scores 0.0, not NaN
+
+
+def test_remove_boilerplate_lines_c4_rule(spark):
+    """The C4 rule end-to-end: a line recurring >= 3 times corpus-wide
+    vanishes from every doc; rarer lines stay; blank lines are
+    structural (kept, never counted); a doc of pure boilerplate keeps
+    its row with empty clean_text; line order is preserved."""
+    from entitymatch_spark.operators.dedup import remove_boilerplate_lines
+
+    bp = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha body\n{bp}\nmore alpha"),
+            (2, f"{bp}\nbeta body\n\nbeta tail"),
+            (3, f"gamma start\ngamma end\n{bp}"),
+            (4, bp),                       # pure boilerplate
+            (5, "rare line\nrare line"),   # 2 < min_occurrences, kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, min_occurrences=3).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["clean_text"] == "alpha body\nmore alpha"
+    assert out[2]["clean_text"] == "beta body\n\nbeta tail"  # blank kept
+    assert out[3]["clean_text"] == "gamma start\ngamma end"
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["clean_text"] == "rare line\nrare line"
+    assert [out[i]["n_removed"] for i in (1, 2, 3, 5)] == [1, 1, 1, 0]
+    assert out[2]["n_lines"] == 4
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        remove_boilerplate_lines(docs, min_occurrences=1)
