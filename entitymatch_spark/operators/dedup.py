@@ -445,9 +445,14 @@ def remove_boilerplate_lines(
             f"min_occurrences must be >= 2 (got {min_occurrences}): at 1 "
             "every non-empty line is boilerplate and every doc empties"
         )
+    # coalesce first: posexplode of a NULL array DROPS the row, so a
+    # NULL-text doc would silently vanish from the output instead of
+    # coming back as (id, '', 1, 0) like an empty-text doc does
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(text_col, "\n", -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
     ).withColumn("k", F.md5("line"))
     flagged = (
         lines.filter(F.col("line") != "")

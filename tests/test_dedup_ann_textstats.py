@@ -714,6 +714,7 @@ def test_remove_boilerplate_lines_c4_rule(spark):
             (3, f"gamma start\ngamma end\n{bp}"),
             (4, bp),                       # pure boilerplate
             (5, "rare line\nrare line"),   # 2 < min_occurrences, kept
+            (6, None),                     # NULL text must not vanish
         ],
         "doc_id long, text string",
     )
@@ -721,7 +722,9 @@ def test_remove_boilerplate_lines_c4_rule(spark):
         r["doc_id"]: r
         for r in remove_boilerplate_lines(docs, min_occurrences=3).collect()
     }
-    assert len(out) == 5
+    assert len(out) == 6
+    assert out[6]["clean_text"] == "" and out[6]["n_lines"] == 1
+    assert out[6]["n_removed"] == 0
     assert out[1]["clean_text"] == "alpha body\nmore alpha"
     assert out[2]["clean_text"] == "beta body\n\nbeta tail"  # blank kept
     assert out[3]["clean_text"] == "gamma start\ngamma end"
