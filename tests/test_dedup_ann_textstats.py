@@ -737,3 +737,50 @@ def test_remove_boilerplate_lines_c4_rule(spark):
 
     with pytest.raises(ValueError):
         remove_boilerplate_lines(docs, min_occurrences=1)
+
+
+def test_remove_boilerplate_lines_matches_python_reference(spark):
+    """One-job fuzz: a seeded random multi-line corpus through the Spark
+    operator vs an independent driver-side Python reference of the C4
+    rule (count non-empty lines corpus-wide, drop every occurrence of
+    those at >= min_occ, rejoin in order). Catches any divergence in
+    counting scope, blank handling, ordering, or the empty-doc path."""
+    import random
+    from collections import Counter
+
+    from entitymatch_spark.operators.dedup import remove_boilerplate_lines
+
+    rng = random.Random(1234)
+    vocab = ["alpha", "beta", "gamma", "delta", "nav", "home", "login"]
+    def line():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 4)))
+    # a boilerplate pool reused across docs + unique filler + blanks
+    pool = [line() for _ in range(6)]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(1, 7)
+        ls = [
+            rng.choice(pool) if rng.random() < 0.4
+            else ("" if rng.random() < 0.15 else f"{line()} u{i}_{j}")
+            for j in range(n)
+        ]
+        docs.append((i, "\n".join(ls)))
+
+    min_occ = 3
+    cnt = Counter(
+        l for _, t in docs for l in t.split("\n") if l != ""
+    )
+    flagged = {l for l, c in cnt.items() if c >= min_occ}
+    want = {}
+    for i, t in docs:
+        ls = t.split("\n")
+        kept = [l for l in ls if l == "" or l not in flagged]
+        want[i] = ("\n".join(kept), len(ls), len(ls) - len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(df, min_occurrences=min_occ).collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in want.values())  # the fuzz exercised removal
