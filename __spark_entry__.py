@@ -1086,6 +1086,22 @@ def q_dedup_boilerplate(spark, sf):
     )
 
 
+def q_dedup_substring(spark, sf):
+    """Exact-substring duplicate spans (the ExactSubstr rule of Lee et
+    al. 2021, operators/dedup.py duplicate_token_spans): maximal token
+    spans covered by 10-token windows that occur >= 2 times corpus-wide
+    (across docs or repeated within one doc). This is the dedup mode
+    document-level exact/MinHash/SimHash all miss — verbatim-repeated
+    passages embedded in otherwise-unique pages. One row per maximal
+    span (0-based token indices, end exclusive) with the number of
+    duplicate windows merged into it. 47 spans / 2007 window hits at
+    sf0.01."""
+    from entitymatch_spark.operators.dedup import duplicate_token_spans
+
+    d = _docs(spark, sf).select("doc_id", "tokens")
+    return duplicate_token_spans(d, window=10, min_occurrences=2)
+
+
 def q_domain_stats(spark, sf):
     """Domain-level curation rollup (the whole-domain filter stage of a
     web pipeline: drop or downweight sources whose aggregate quality /
@@ -1714,7 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # that are NEW or CHANGED this round (the two streaming standing
         # gates; curate_corpus whose oracle gained the explicit n>0
         # guard; redact_pii which gained the custom_rules seam; the
-        # closing session's dedup_boilerplate), then the 27 queries
+        # closing session's dedup_boilerplate and the ExactSubstr
+        # duplicate-span query dedup_substring), then the 27 queries
         # whose last driver row is r3 (rotated past the r4 cap,
         # unchanged since), then the most load-bearing r4-green rows up
         # to the cap. The ~30 entries past the cap are ALL r4 hash-green
@@ -1734,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         # ---- NEW closing session: C4 boilerplate-line removal ----
         "dedup_boilerplate": q_dedup_boilerplate,
+        # ---- NEW closing session: ExactSubstr duplicate spans ----
+        "dedup_substring": q_dedup_substring,
         # ---- last driver row is r3 — rotate back inside the cap ----
         "embed_hash": q_embed_hash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2547,6 +2566,34 @@ def oracle_sql() -> dict[str, str]:
         # C4 boilerplate-line removal: same deterministic 8-token line
         # reshaping as the Spark query, then md5(line)-keyed corpus-wide
         # count >= 3 -> drop every occurrence, rebuild in pos order
+        # ExactSubstr duplicate spans: same window/md5-key/merge chain;
+        # the oracle merges via classic gaps-and-islands window
+        # functions where Spark uses the one-shuffle aggregate() fold —
+        # with starts ascending and width fixed the two are identical
+        # (break iff s > last span end)
+        "dedup_substring": f"""
+            WITH t0 AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+            toks AS (SELECT doc_id, tk FROM t0 WHERE len(tk) >= 10),
+            idx AS (SELECT doc_id, tk, unnest(range(len(tk) - 9)) AS s
+                    FROM toks),
+            wins AS (SELECT doc_id, CAST(s AS INT) AS s,
+                            md5(array_to_string(tk[s+1 : s+10], chr(31))) AS k
+                     FROM idx),
+            dup AS (SELECT k FROM wins GROUP BY k HAVING count(*) >= 2),
+            hits AS (SELECT w.doc_id, w.s FROM wins w JOIN dup USING (k)),
+            m AS (SELECT doc_id, s,
+                    CASE WHEN s > coalesce(max(s + 10) OVER (
+                           PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         -1) THEN 1 ELSE 0 END AS brk
+                  FROM hits),
+            g AS (SELECT doc_id, s,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+                  FROM m)
+            SELECT doc_id, min(s) AS span_start, max(s) + 10 AS span_end,
+                   count(*) AS n_windows
+            FROM g GROUP BY doc_id, grp
+        """,
         "dedup_boilerplate": f"""
             WITH t0 AS (SELECT doc_id, {TOKS} AS tk FROM documents),
             toks AS (SELECT * FROM t0 WHERE len(tk) > 0),

@@ -484,3 +484,94 @@ def remove_boilerplate_lines(
             ),
         )
     )
+
+def duplicate_token_spans(
+    docs: DataFrame,
+    window: int = 50,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Exact-substring duplicate spans (the ExactSubstr rule of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): every ``window``-token run that occurs
+    >= ``min_occurrences`` times ANYWHERE in the corpus (across docs or
+    repeated inside one doc) is a duplicate window; overlapping and
+    back-to-back duplicate windows merge into maximal spans.
+
+    Returns (id, span_start, span_end, n_windows) — one row per maximal
+    span, token indices 0-based, ``span_end`` exclusive, ``n_windows``
+    = duplicate windows merged into the span. Callers strip
+    ``tokens[span_start:span_end]`` (or keep one occurrence — the paper
+    strips all) to remove verbatim-repeated text that exact- and
+    near-dup document dedup both miss: licence blocks, quoted passages,
+    templated paragraphs embedded in otherwise-unique pages.
+
+    Scale shape: the window table is one row per token position (the
+    posting table's cardinality), keyed by md5 of the window — a fixed
+    32-char shuffle key regardless of window width, portable to any SQL
+    oracle (same rationale as remove_boilerplate_lines). Duplicate keys
+    are count-filtered before the join back, so the dup side is tiny
+    next to the corpus. Span merging is a per-doc JVM aggregate() fold
+    over the sorted hit positions — ONE shuffle (the groupBy on id), no
+    window functions, no UDF: with starts ascending and width fixed, a
+    hit at ``s`` extends the open span iff ``s <= last.e``.
+    """
+    if window < 2:
+        raise ValueError(
+            f"window must be >= 2 tokens (got {window}): at 1 every "
+            "repeated token is a duplicate span"
+        )
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be >= 2 (got {min_occurrences}): at 1 "
+            "every window is a duplicate and every doc is one big span"
+        )
+    # one row per window position; chr(31) (unit separator) joins the
+    # slice so tokens containing spaces cannot alias across boundaries
+    wins = docs.filter(F.size(tokens_col) >= window).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size({tokens_col}) - {window}),"
+                f" i -> named_struct('s', i, 'k',"
+                f" md5(array_join(slice({tokens_col}, i + 1, {window}),"
+                f" chr(31)))))"
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.s").alias("s"), F.col("w.k").alias("k"))
+    dup = (
+        wins.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_occurrences)
+        .select("k")
+    )
+    hits = wins.join(dup, "k").select(id_col, "s")
+    per_doc = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
+    spans = F.expr(
+        f"""
+        aggregate(
+          ss,
+          cast(array() as array<struct<s:int,e:int,n:bigint>>),
+          (acc, x) -> if(size(acc) > 0 and x <= element_at(acc, -1).e,
+            concat(slice(acc, 1, size(acc) - 1),
+                   array(named_struct('s', element_at(acc, -1).s,
+                                      'e', x + {window},
+                                      'n', element_at(acc, -1).n + 1L))),
+            concat(acc, array(named_struct('s', x,
+                                           'e', x + {window},
+                                           'n', 1L))))
+        )
+        """
+    )
+    return (
+        per_doc.select(F.col(id_col), F.explode(spans).alias("sp"))
+        .select(
+            F.col(id_col),
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+            F.col("sp.n").alias("n_windows"),
+        )
+    )

@@ -784,3 +784,90 @@ def test_remove_boilerplate_lines_matches_python_reference(spark):
     }
     assert got == want
     assert any(v[2] > 0 for v in want.values())  # the fuzz exercised removal
+
+def test_duplicate_token_spans_exactsubstr_rule(spark):
+    """ExactSubstr semantics on a hand-built fixture: cross-doc shared
+    runs merge into one maximal span per doc, a window repeated WITHIN
+    one doc counts toward min_occurrences, docs shorter than the window
+    are excluded, and back-to-back windows (s == previous span end)
+    merge rather than split."""
+    import pytest
+
+    from entitymatch_spark.operators.dedup import duplicate_token_spans
+
+    rows = [
+        (1, "a b c d e f g h i j k l".split()),  # shares a..h with doc 2
+        (2, "x y a b c d e f g h q r".split()),
+        (3, "z z z".split()),                    # len 3 < window 4
+        (4, "p q r s p q r s p q r s".split()),  # internal repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<string>")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in duplicate_token_spans(df, window=4, min_occurrences=2).collect()
+    }
+    # doc 1: run a..h = indices 0..7 -> 5 windows of width 4, one span
+    # doc 2: same run at indices 2..9
+    # doc 4: every window duplicated internally -> whole doc one span
+    assert got == {(1, 0, 8): 5, (2, 2, 10): 5, (4, 0, 12): 9}
+
+    with pytest.raises(ValueError, match="window must be >= 2"):
+        duplicate_token_spans(df, window=1)
+    with pytest.raises(ValueError, match="min_occurrences must be >= 2"):
+        duplicate_token_spans(df, min_occurrences=1)
+
+
+def test_duplicate_token_spans_matches_python_reference(spark):
+    """One-job fuzz: a seeded random token corpus (small vocab so
+    duplicate windows arise naturally, plus planted verbatim passages)
+    through the Spark operator vs an independent driver-side Python
+    reference of the ExactSubstr rule (count windows corpus-wide by
+    content, flag those at >= min_occ, merge overlapping-or-adjacent
+    flagged windows per doc). Catches divergence in counting scope,
+    merge boundary (s == end vs s > end), short-doc exclusion, or the
+    fold's last-span arithmetic."""
+    import random
+    from collections import Counter
+
+    from entitymatch_spark.operators.dedup import duplicate_token_spans
+
+    rng = random.Random(4321)
+    W, MIN = 5, 2
+    vocab = [f"t{i}" for i in range(12)]
+    passage = [rng.choice(vocab) for _ in range(9)]  # planted verbatim run
+    docs = []
+    for i in range(50):
+        n = rng.randrange(2, 20)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.4:
+            at = rng.randrange(0, len(toks) + 1)
+            toks = toks[:at] + passage + toks[at:]
+        docs.append((i, toks))
+
+    cnt = Counter()
+    for _, toks in docs:
+        for s in range(len(toks) - W + 1):
+            cnt[tuple(toks[s : s + W])] += 1
+    want = set()
+    for i, toks in docs:
+        starts = [
+            s
+            for s in range(len(toks) - W + 1)
+            if cnt[tuple(toks[s : s + W])] >= MIN
+        ]
+        spans = []
+        for s in starts:
+            if spans and s <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], s + W, spans[-1][2] + 1)
+            else:
+                spans.append((s, s + W, 1))
+        for st, en, nw in spans:
+            want.add((i, st, en, nw))
+
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_token_spans(df, window=W, min_occurrences=MIN).collect()
+    }
+    assert got == want
+    assert len(want) > 20  # the fuzz exercised real merging
