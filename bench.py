@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_exact",
+    # ExactSubstr duplicate spans (window count + span merge fold) —
+    # the substring-level dedup leg
+    "dedup_substring",
     # composed curation keep-set (quality -> LSH dedup -> closure ->
     # md5 sample) in the portable-hash variant — the training-data
     # pipeline leg

@@ -73,6 +73,7 @@ _EXPORTS = {
     "dedup_survivors": "entitymatch_spark.operators.dedup",
     "remove_boilerplate_lines": "entitymatch_spark.operators.dedup",
     "duplicate_token_spans": "entitymatch_spark.operators.dedup",
+    "strip_duplicate_spans": "entitymatch_spark.operators.dedup",
     "redact_pii": "entitymatch_spark.operators.pii",
     "canonical_url": "entitymatch_spark.operators.urlnorm",
     "latest_snapshot": "entitymatch_spark.operators.urlnorm",

@@ -575,3 +575,50 @@ def duplicate_token_spans(
             F.col("sp.n").alias("n_windows"),
         )
     )
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Apply duplicate_token_spans' verdicts: remove every token inside
+    a duplicate span (the paper strips ALL occurrences; dedup keeps the
+    corpus-wide window counts below min_occurrences on a rerun).
+
+    Returns every input doc as (id, clean_tokens, n_removed) — docs
+    with no spans pass through whole with n_removed = 0.
+
+    Scale shape: spans collapse to one row per doc (groupBy on id, tiny
+    output), join back LEFT so clean docs skip the rebuild arithmetic,
+    and the strip itself is a JVM filter over (token, index) — no UDF,
+    no re-tokenization. Span lists per doc are short (they are maximal,
+    disjoint, sorted), so the exists() probe per token is cheap.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    idx = F.expr(
+        f"transform({tokens_col}, (t, i) -> named_struct('t', t, 'i', i))"
+    )
+    kept = F.filter(
+        idx,
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+        ),
+    )
+    clean = F.transform(kept, lambda s: s["t"])
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("__spans").isNull(), F.col(tokens_col))
+        .otherwise(clean)
+        .alias("clean_tokens"),
+        F.when(F.col("__spans").isNull(), F.lit(0))
+        .otherwise(F.size(tokens_col) - F.size(clean))
+        .cast("int")
+        .alias("n_removed"),
+    )

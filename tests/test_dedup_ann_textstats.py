@@ -871,3 +871,42 @@ def test_duplicate_token_spans_matches_python_reference(spark):
     }
     assert got == want
     assert len(want) > 20  # the fuzz exercised real merging
+
+def test_strip_duplicate_spans_roundtrip(spark):
+    """detect -> strip closes the ExactSubstr loop: stripped docs lose
+    exactly the span tokens, span-free docs pass through unchanged with
+    n_removed = 0, and the result matches a direct Python strip of the
+    reference spans."""
+    from entitymatch_spark.operators.dedup import (
+        duplicate_token_spans,
+        strip_duplicate_spans,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j k l".split()),
+        (2, "x y a b c d e f g h q r".split()),
+        (3, "z w z w z".split()),               # no duplicate windows
+        (4, "p q r s p q r s p q r s".split()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<string>")
+    spans = duplicate_token_spans(df, window=4, min_occurrences=2)
+    got = {
+        r["doc_id"]: (r["clean_tokens"], r["n_removed"])
+        for r in strip_duplicate_spans(df, spans).collect()
+    }
+    span_map = {}
+    for r in spans.collect():
+        span_map.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    want = {}
+    for i, toks in rows:
+        sp = span_map.get(i, [])
+        kept = [
+            t for j, t in enumerate(toks)
+            if not any(s <= j < e for s, e in sp)
+        ]
+        want[i] = (kept, len(toks) - len(kept))
+    assert got == want
+    assert got[3] == ("z w z w z".split(), 0)  # untouched doc intact
+    assert got[4] == ([], 12)                  # fully-duplicate doc empties
