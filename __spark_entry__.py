@@ -820,6 +820,56 @@ def q_sessionize_events(spark, sf):  # gap-based sessionization (lag + cumsum)
     )
 
 
+@_pinned_utc
+def q_range_join_events(spark, sf):
+    """Interval-overlap range join (operators/rangejoin.py): user
+    sessions (the sessionize gap-and-island intervals, half-open
+    [first_us, last_us + 1)) joined to global incident windows (error
+    events with value >= 15, [ts, ts + 15 min)) they overlap — "which
+    sessions were exposed to which incidents". Binned equi-join on
+    1-hour epoch bins + exact overlap filter + first-overlapping-bin
+    dedup (no distinct shuffle). 6,676 pairs from 9,549 sessions x
+    1,491 incidents at sf0.01."""
+    from pyspark.sql import Window
+
+    from entitymatch_spark.operators.rangejoin import interval_overlap_join
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("us", us)
+        .withColumn(
+            "session_idx",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("us").alias("s_start"),
+            (F.max("us") + 1).alias("s_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    inc = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") >= 15))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("i_start"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + 900 * 1_000_000
+            ).alias("i_end"),
+        )
+    )
+    out = interval_overlap_join(
+        sess, inc, "s_start", "s_end", "i_start", "i_end",
+        bin_width=3600 * 1_000_000,
+    )
+    return out.select("user_id", "session_idx", "n_events", "incident_id")
+
+
 def q_pivot_events(spark, sf):  # pivot as conditional aggregation
     ev = _t(spark, sf, "events")
     aggs = [
@@ -1753,6 +1803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_boilerplate": q_dedup_boilerplate,
         # ---- NEW closing session: ExactSubstr duplicate spans ----
         "dedup_substring": q_dedup_substring,
+        # ---- NEW continuation session: binned range join ----
+        "range_join_events": q_range_join_events,
         # ---- last driver row is r3 — rotate back inside the cap ----
         "embed_hash": q_embed_hash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2859,6 +2911,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, value >= 50 AS hi_value, count(*) AS n,
                    round(sum(value), 4) AS total
             FROM events GROUP BY CUBE (event_type, hi_value)
+        """,
+        # range join: the oracle uses the PLAIN non-equi overlap join
+        # (DuckDB plans it as IEJoin) against the same session/incident
+        # CTEs — any binning, dedup, or boundary bug in the Spark-side
+        # binned equi-join diverges from this ground truth
+        "range_join_events": """
+            WITH g AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events),
+            s AS (
+              SELECT user_id, us,
+                     CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM g),
+            sess AS (
+              SELECT user_id, session_idx, min(us) AS s_start,
+                     max(us) + 1 AS s_end, count(*) AS n_events
+              FROM s GROUP BY 1, 2),
+            inc AS (
+              SELECT event_id AS incident_id, epoch_us(ts) AS i_start,
+                     epoch_us(ts) + 900 * 1000000 AS i_end
+              FROM events WHERE event_type = 'error' AND value >= 15)
+            SELECT sess.user_id, sess.session_idx, sess.n_events,
+                   inc.incident_id
+            FROM sess JOIN inc
+              ON sess.s_start < inc.i_end AND inc.i_start < sess.s_end
         """,
         "sessionize_events": """
             WITH g AS (

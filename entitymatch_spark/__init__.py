@@ -74,6 +74,7 @@ _EXPORTS = {
     "remove_boilerplate_lines": "entitymatch_spark.operators.dedup",
     "duplicate_token_spans": "entitymatch_spark.operators.dedup",
     "strip_duplicate_spans": "entitymatch_spark.operators.dedup",
+    "interval_overlap_join": "entitymatch_spark.operators.rangejoin",
     "redact_pii": "entitymatch_spark.operators.pii",
     "canonical_url": "entitymatch_spark.operators.urlnorm",
     "latest_snapshot": "entitymatch_spark.operators.urlnorm",

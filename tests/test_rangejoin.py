@@ -1,0 +1,88 @@
+"""interval_overlap_join: binned range join vs brute-force ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Hand-built edges: multi-bin pairs appear exactly once (first-bin
+    dedup), touching half-open intervals ([0,10) vs [10,20)) do NOT
+    match, empty/inverted intervals are dropped, and bin-boundary
+    instants land in the right bin (integer div, no float rounding)."""
+    from entitymatch_spark.operators.rangejoin import interval_overlap_join
+
+    L = spark.createDataFrame(
+        [
+            (1, 0, 100),    # spans 10 bins; overlaps rid 10, 13
+            (2, 95, 105),   # straddles a bin boundary
+            (3, 200, 210),
+            (4, 50, 50),    # empty — dropped
+            (5, 300, 250),  # inverted — dropped
+            (6, 0, 10),     # touches rid 14 ([10, 20)) — no match
+        ],
+        "lid int, ls long, le long",
+    )
+    R = spark.createDataFrame(
+        [
+            (10, 90, 96),
+            (11, 100, 150),
+            (12, 205, 206),
+            (13, 0, 1000),  # covers everything — shares many bins
+            (14, 10, 20),
+        ],
+        "rid int, rs long, re long",
+    )
+    rows = interval_overlap_join(L, R, "ls", "le", "rs", "re", 10).collect()
+    got = sorted((r["lid"], r["rid"]) for r in rows)
+    want = sorted(
+        (l[0], r[0])
+        for l in [(1, 0, 100), (2, 95, 105), (3, 200, 210), (6, 0, 10)]
+        for r in [(10, 90, 96), (11, 100, 150), (12, 205, 206),
+                  (13, 0, 1000), (14, 10, 20)]
+        if l[1] < r[2] and r[1] < l[2]
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # duplicate-free without distinct
+    assert (6, 14) not in got         # half-open: touching != overlap
+
+    with pytest.raises(ValueError, match="bin_width must be positive"):
+        interval_overlap_join(L, R, "ls", "le", "rs", "re", 0)
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(L, L, "ls", "le", "ls", "le", 10)
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """One-job fuzz: seeded random intervals (lengths from sub-bin to
+    many-bin, starts across a wide axis) through the binned join vs a
+    driver-side brute-force O(n^2) overlap scan. Catches off-by-one in
+    the end-exclusive bin range, first-bin dedup misses, and boundary
+    misbinning — across a bin width that divides nothing evenly."""
+    import random
+
+    from entitymatch_spark.operators.rangejoin import interval_overlap_join
+
+    rng = random.Random(99)
+    W = 37  # deliberately awkward bin width
+    Lr = []
+    for i in range(120):
+        s = rng.randrange(0, 2000)
+        Lr.append((i, s, s + rng.randrange(1, 200)))
+    Rr = []
+    for j in range(120):
+        s = rng.randrange(0, 2000)
+        Rr.append((j, s, s + rng.choice([1, 5, 36, 37, 38, 150])))
+
+    L = spark.createDataFrame(Lr, "lid int, ls long, le long")
+    R = spark.createDataFrame(Rr, "rid int, rs long, re long")
+    rows = interval_overlap_join(L, R, "ls", "le", "rs", "re", W).collect()
+    got = sorted((r["lid"], r["rid"]) for r in rows)
+    want = sorted(
+        (l[0], r[0])
+        for l in Lr
+        for r in Rr
+        if l[1] < r[2] and r[1] < l[2]
+    )
+    assert got == want
+    assert len(got) == len(set(got))
+    assert len(want) > 500  # the fuzz exercised real overlap density
