@@ -86,3 +86,33 @@ def test_interval_overlap_join_matches_brute_force(spark):
     assert got == want
     assert len(got) == len(set(got))
     assert len(want) > 500  # the fuzz exercised real overlap density
+
+def test_interval_overlap_join_negative_axis(spark):
+    """Axis values below zero: Spark's `div` truncates toward zero
+    rather than flooring, which reshapes bin 0 to (-w, w) — still a
+    monotonic step function of the axis, so overlapping intervals
+    still share the bin of their overlap start and the first-bin dedup
+    still fires exactly once. Locked in with a brute-force compare on
+    a seeded corpus straddling zero."""
+    import random
+
+    from entitymatch_spark.operators.rangejoin import interval_overlap_join
+
+    rng = random.Random(7)
+    W = 13
+    Lr, Rr = [], []
+    for i in range(80):
+        s = rng.randrange(-500, 500)
+        Lr.append((i, s, s + rng.randrange(1, 60)))
+        s = rng.randrange(-500, 500)
+        Rr.append((i, s, s + rng.choice([1, 12, 13, 14, 50])))
+    L = spark.createDataFrame(Lr, "lid int, ls long, le long")
+    R = spark.createDataFrame(Rr, "rid int, rs long, re long")
+    rows = interval_overlap_join(L, R, "ls", "le", "rs", "re", W).collect()
+    got = sorted((r["lid"], r["rid"]) for r in rows)
+    want = sorted(
+        (l[0], r[0]) for l in Lr for r in Rr if l[1] < r[2] and r[1] < l[2]
+    )
+    assert got == want
+    assert len(got) == len(set(got))
+    assert len(want) > 100
