@@ -870,6 +870,29 @@ def q_range_join_events(spark, sf):
     return out.select("user_id", "session_idx", "n_events", "incident_id")
 
 
+def q_unigram_nll(spark, sf):
+    """CCNet-style unigram-LM quality score (operators/lm.py): every
+    document scored by the mean negative log-likelihood of its tokens
+    under a Laplace-smoothed (alpha=1) corpus unigram model, bucketed
+    head/middle/tail on fixed nll cutoffs — the scalable core of the
+    perplexity filter (Wenzek et al. 2020). Model side is
+    vocabulary-sized and broadcast; the only shuffle is the per-doc
+    aggregate. Bucket is computed from the ROUNDED score on both
+    engines so the emitted value and the label can never disagree."""
+    from entitymatch_spark.operators.lm import ppl_bucket_expr, unigram_nll
+
+    _, posting = _posting(spark, sf)
+    scored = unigram_nll(posting, alpha=1.0).withColumn(
+        "avg_nll", F.round("avg_nll", 6)
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        ppl_bucket_expr("avg_nll", (3.4, 3.41)).alias("ppl_bucket"),
+    )
+
+
 def q_pivot_events(spark, sf):  # pivot as conditional aggregation
     ev = _t(spark, sf, "events")
     aggs = [
@@ -1780,8 +1803,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # that are NEW or CHANGED this round (the two streaming standing
         # gates; curate_corpus whose oracle gained the explicit n>0
         # guard; redact_pii which gained the custom_rules seam; the
-        # closing session's dedup_boilerplate and the ExactSubstr
-        # duplicate-span query dedup_substring), then the 27 queries
+        # closing session's dedup_boilerplate, the ExactSubstr
+        # duplicate-span query dedup_substring, the binned range join
+        # range_join_events, and the unigram-LM perplexity filter
+        # unigram_nll), then the 27 queries
         # whose last driver row is r3 (rotated past the r4 cap,
         # unchanged since), then the most load-bearing r4-green rows up
         # to the cap. The ~30 entries past the cap are ALL r4 hash-green
@@ -1805,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         # ---- NEW continuation session: binned range join ----
         "range_join_events": q_range_join_events,
+        # ---- NEW continuation session: unigram-LM perplexity filter ----
+        "unigram_nll": q_unigram_nll,
         # ---- last driver row is r3 — rotate back inside the cap ----
         "embed_hash": q_embed_hash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2940,6 +2967,26 @@ def oracle_sql() -> dict[str, str]:
                    inc.incident_id
             FROM sess JOIN inc
               ON sess.s_start < inc.i_end AND inc.i_start < sess.s_end
+        """,
+        # unigram LM: Laplace alpha=1 model over the same tokenization;
+        # self-scored so the join is inner (no OOV possible). Bucket is
+        # a CASE over the ROUNDED score, mirroring the Spark side.
+        "unigram_nll": f"""
+            WITH {POS_CTE},
+            model AS (SELECT token, count(*) AS n_occ FROM pos GROUP BY token),
+            tot AS (SELECT sum(n_occ) AS total, count(*) AS vocab FROM model),
+            scored AS (
+              SELECT p.doc_id, count(*) AS n_tokens,
+                     round(-avg(ln((m.n_occ + 1.0)
+                                   / (t.total + 1.0 * (t.vocab + 1)))),
+                           6) AS avg_nll
+              FROM pos p JOIN model m USING (token) CROSS JOIN tot t
+              GROUP BY p.doc_id)
+            SELECT doc_id, n_tokens, avg_nll,
+                   CASE WHEN avg_nll < 3.4 THEN 'head'
+                        WHEN avg_nll < 3.41 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM scored
         """,
         "sessionize_events": """
             WITH g AS (

@@ -83,6 +83,9 @@ _EXPORTS = {
     "lang_id": "entitymatch_spark.operators.textstats",
     "token_count": "entitymatch_spark.operators.textstats",
     "repetition_signals": "entitymatch_spark.operators.textstats",
+    "unigram_model": "entitymatch_spark.operators.lm",
+    "unigram_nll": "entitymatch_spark.operators.lm",
+    "ppl_bucket_expr": "entitymatch_spark.operators.lm",
     # streaming
     "sessionize_stream": "entitymatch_spark.streaming.stateful",
 }
