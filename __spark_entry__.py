@@ -893,6 +893,22 @@ def q_unigram_nll(spark, sf):
     )
 
 
+def q_bigram_nll(spark, sf):
+    """Stupid-backoff bigram scoring (operators/lm.py, Brants et al.
+    2007 — the distributed web-scale LM): per-document mean negative
+    log score with the bigram table pruned to count >= 2, so singleton
+    bigrams exercise the backoff-to-unigram path (self-scored corpora
+    otherwise never back off). One lag window on the per-doc partition
+    the final aggregate needs anyway; unigram sides broadcast."""
+    from entitymatch_spark.operators.lm import bigram_backoff_nll
+
+    _, posting = _posting(spark, sf)
+    scored = bigram_backoff_nll(posting, backoff=0.4, min_count=2)
+    return scored.select(
+        "doc_id", "n_tokens", F.round("avg_nll", 6).alias("avg_nll")
+    )
+
+
 def q_pivot_events(spark, sf):  # pivot as conditional aggregation
     ev = _t(spark, sf, "events")
     aggs = [
@@ -1832,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         # ---- NEW continuation session: unigram-LM perplexity filter ----
         "unigram_nll": q_unigram_nll,
+        # ---- NEW continuation session: stupid-backoff bigram LM ----
+        "bigram_nll": q_bigram_nll,
         # ---- last driver row is r3 — rotate back inside the cap ----
         "embed_hash": q_embed_hash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2987,6 +3005,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN avg_nll < 3.41 THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM scored
+        """,
+        # stupid backoff: bigram table pruned to count >= 2; singleton
+        # bigrams fall back to 0.4 * unigram MLE. First token of each
+        # doc is scored by the unigram alone (prev IS NULL).
+        "bigram_nll": f"""
+            WITH {POS_CTE},
+            ctx AS (SELECT doc_id, pos, token,
+                           lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                             AS prev
+                    FROM pos),
+            uni AS (SELECT token, count(*) AS n_uni FROM pos GROUP BY token),
+            tot AS (SELECT sum(n_uni) AS total FROM uni),
+            big AS (SELECT prev, token, count(*) AS n_big FROM ctx
+                    WHERE prev IS NOT NULL
+                    GROUP BY prev, token HAVING count(*) >= 2)
+            SELECT c.doc_id, count(*) AS n_tokens,
+                   round(-avg(CASE
+                      WHEN c.prev IS NULL THEN ln(u.n_uni / t.total)
+                      WHEN b.n_big IS NOT NULL THEN ln(b.n_big / pu.n_uni)
+                      ELSE ln(0.4 * u.n_uni / t.total) END), 6) AS avg_nll
+            FROM ctx c
+            LEFT JOIN big b ON b.prev = c.prev AND b.token = c.token
+            LEFT JOIN uni pu ON pu.token = c.prev
+            JOIN uni u ON u.token = c.token
+            CROSS JOIN tot t
+            GROUP BY c.doc_id
         """,
         "sessionize_events": """
             WITH g AS (

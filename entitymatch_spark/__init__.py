@@ -85,6 +85,7 @@ _EXPORTS = {
     "repetition_signals": "entitymatch_spark.operators.textstats",
     "unigram_model": "entitymatch_spark.operators.lm",
     "unigram_nll": "entitymatch_spark.operators.lm",
+    "bigram_backoff_nll": "entitymatch_spark.operators.lm",
     "ppl_bucket_expr": "entitymatch_spark.operators.lm",
     # streaming
     "sessionize_stream": "entitymatch_spark.streaming.stateful",

@@ -101,6 +101,82 @@ def unigram_nll(
     )
 
 
+def bigram_backoff_nll(
+    posting: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+    min_count: int = 1,
+) -> DataFrame:
+    """(id, n_tokens, avg_nll): per-document mean negative log of the
+    STUPID BACKOFF bigram score (Brants et al., EMNLP 2007 — the
+    distributed web-scale LM scheme; scores, not probabilities):
+
+        S(w_i | w_{i-1}) = count(w_{i-1} w_i) / count(w_{i-1})
+                           if the bigram was kept, else
+                           backoff * count(w_i) / total
+        S(w_1)           = count(w_1) / total          (first token)
+
+    ``min_count`` prunes the bigram table to entries seen at least that
+    often — the paper's lever for bounding model size: at 100 TB the
+    bigram table is the one LM artifact that can rival the corpus, and
+    pruning trades it against backoff coverage. Self-scored (model =
+    scoring corpus), so unigram counts always exist.
+
+    Shapes at scale: the bigram context is built with one ``lag``
+    window per document partition (the posting is already hashed by
+    document for it — same shuffle the per-doc aggregate needs
+    anyway); the pruned bigram model joins on (prev, token) as a
+    shuffle hash join IF large, broadcast when pruning keeps it small;
+    the unigram model is always vocabulary-sized and broadcast.
+    """
+    if not 0 < backoff <= 1:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    ctx = posting.select(
+        F.col(id_col), "pos", "token", F.lag("token").over(w).alias("prev")
+    )
+    uni = posting.groupBy("token").agg(F.count("*").alias("n_uni"))
+    totals = uni.agg(F.sum("n_uni").alias("total"))
+    big = (
+        ctx.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count("*").alias("n_big"))
+        .filter(F.col("n_big") >= min_count)
+    )
+    prev_uni = uni.select(
+        F.col("token").alias("prev"), F.col("n_uni").alias("n_prev")
+    )
+    scored = (
+        ctx.join(big, ["prev", "token"], "left")
+        .join(F.broadcast(prev_uni), "prev", "left")
+        .join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "logs",
+            F.when(
+                F.col("prev").isNull(),  # first token: unigram score
+                F.log(F.col("n_uni") / F.col("total")),
+            )
+            .when(
+                F.col("n_big").isNotNull(),
+                F.log(F.col("n_big") / F.col("n_prev")),
+            )
+            .otherwise(
+                F.log(F.lit(backoff) * F.col("n_uni") / F.col("total"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (-F.avg("logs")).alias("avg_nll"),
+    )
+
+
 def ppl_bucket_expr(nll_col: str = "avg_nll", thresholds=(6.0, 7.0)):
     """head/middle/tail label column from two nll cutoffs (nats/token).
 

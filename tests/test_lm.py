@@ -112,6 +112,62 @@ def test_bucket_expr_and_validation(spark):
         unigram_model(_posting(spark, CORPUS), alpha=-1.0)
 
 
+def _py_backoff_nll(token_lists, doc, backoff, min_count):
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for toks in token_lists:
+        for i, t in enumerate(toks):
+            uni[t] = uni.get(t, 0) + 1
+            if i > 0:
+                big[(toks[i - 1], t)] = big.get((toks[i - 1], t), 0) + 1
+    total = sum(uni.values())
+    big = {k: c for k, c in big.items() if c >= min_count}
+    vals = []
+    for i, t in enumerate(doc):
+        if i == 0:
+            vals.append(math.log(uni[t] / total))
+        elif (doc[i - 1], t) in big:
+            vals.append(math.log(big[(doc[i - 1], t)] / uni[doc[i - 1]]))
+        else:
+            vals.append(math.log(backoff * uni[t] / total))
+    return -sum(vals) / len(vals)
+
+
+@pytest.mark.parametrize("min_count", [1, 2])
+def test_bigram_backoff_matches_python(spark, min_count):
+    """Stupid-backoff scores match the Python reference; min_count=2
+    prunes the singleton bigrams so the backoff branch actually fires
+    (d3 is all singleton bigrams -> fully backed off), min_count=1
+    keeps every observed bigram (self-scored: backoff never fires)."""
+    from entitymatch_spark.operators.lm import bigram_backoff_nll
+
+    posting = _posting(spark, CORPUS)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+        for r in bigram_backoff_nll(
+            posting, backoff=0.4, min_count=min_count
+        ).collect()
+    }
+    lists = [t for _, t in CORPUS]
+    assert set(got) == {d for d, _ in CORPUS}
+    for doc_id, toks in CORPUS:
+        n, nll = got[doc_id]
+        assert n == len(toks)
+        assert nll == pytest.approx(
+            _py_backoff_nll(lists, toks, 0.4, min_count), abs=1e-9
+        ), doc_id
+
+
+def test_bigram_validation(spark):
+    from entitymatch_spark.operators.lm import bigram_backoff_nll
+
+    posting = _posting(spark, CORPUS)
+    with pytest.raises(ValueError, match="backoff"):
+        bigram_backoff_nll(posting, backoff=0.0)
+    with pytest.raises(ValueError, match="min_count"):
+        bigram_backoff_nll(posting, min_count=0)
+
+
 def test_model_side_is_broadcast(spark):
     """The vocabulary-sized model must arrive at the scorer as a
     broadcast hash join — a shuffled sort-merge here would move the
