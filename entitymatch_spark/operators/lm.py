@@ -48,21 +48,30 @@ def unigram_model(posting: DataFrame, alpha: float = 1.0) -> DataFrame:
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    counts = posting.groupBy("token").agg(F.count("*").alias("n_occ"))
+    counts = (
+        posting.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occ"))
+    )
     totals = counts.agg(
         F.sum("n_occ").alias("total"), F.count("*").alias("vocab")
     )
     denom = F.col("total") + F.lit(alpha) * (F.col("vocab") + 1)
-    return counts.crossJoin(F.broadcast(totals)).withColumn(
-        "logp", F.log((F.col("n_occ") + F.lit(alpha)) / denom)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("logp", F.log((F.col("n_occ") + F.lit(alpha)) / denom))
+        .withColumn("logp_oov", oov_logp_expr(alpha))
     )
 
 
 def oov_logp_expr(alpha: float):
     """ln of the shared OOV event's probability, as a column over the
-    model's (total, vocab) columns — ``-inf`` guard: alpha=0 with an
-    OOV token is a modeling error, surfaced as NULL by ln(0) rather
-    than silently scored."""
+    model's (total, vocab) columns. alpha=0 reserves NO mass for OOV,
+    so an OOV token under it is a modeling error — surfaced as NaN
+    (which poisons the document's avg_nll) rather than silently
+    dropped from the average the way a NULL would be."""
+    if alpha == 0:
+        return F.lit(float("nan"))
     denom = F.col("total") + F.lit(alpha) * (F.col("vocab") + 1)
     return F.log(F.lit(alpha) / denom)
 
@@ -79,21 +88,32 @@ def unigram_nll(
     is the per-token perplexity).
 
     ``model=None`` self-scores: the model is built from ``posting``
-    itself (the CCNet in-domain case — no OOV possible). Passing a
-    model built on a DIFFERENT corpus exercises the OOV path: unseen
-    tokens get the smoothed OOV mass via a left join + coalesce.
+    itself (the CCNet in-domain case — no OOV possible) with ``alpha``.
+    Passing a model built on a DIFFERENT corpus exercises the OOV
+    path: unseen tokens get the OOV mass the MODEL reserved (its
+    ``logp_oov`` column — never recomputed from this call's ``alpha``,
+    so model and scorer cannot desync). NULL tokens are dropped on
+    both build and score. An alpha=0 model scores OOV tokens as NaN,
+    poisoning that document's avg_nll rather than silently averaging
+    around them; an EMPTY model scores every document NaN.
     """
+    posting = posting.filter(F.col("token").isNotNull())
     if model is None:
         model = unigram_model(posting, alpha=alpha)
-    oov = oov_logp_expr(alpha)
-    # one-row totals for the OOV fallback; vocabulary-sized model side
-    # is broadcast — scoring is map-side, the only shuffle is the
-    # groupBy on the document key.
-    totals = model.select("total", "vocab").limit(1)
+    # one-row OOV mass (agg, not limit(1): stays one row — all NULLs —
+    # for an empty model, so the crossJoin cannot annihilate the
+    # posting); vocabulary-sized model side is broadcast — scoring is
+    # map-side, the only shuffle is the groupBy on the document key.
+    oov_row = model.agg(F.first("logp_oov").alias("logp_oov"))
     scored = (
         posting.join(F.broadcast(model.select("token", "logp")), "token", "left")
-        .crossJoin(F.broadcast(totals))
-        .withColumn("logp_eff", F.coalesce(F.col("logp"), oov))
+        .crossJoin(F.broadcast(oov_row))
+        .withColumn(
+            "logp_eff",
+            F.coalesce(
+                F.col("logp"), F.col("logp_oov"), F.lit(float("nan"))
+            ),
+        )
     )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
@@ -136,6 +156,10 @@ def bigram_backoff_nll(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     from pyspark.sql import Window
 
+    # NULL tokens are not tokens: drop them BEFORE the lag so the
+    # adjacency closes over them, keeping n_tokens consistent with
+    # unigram_nll (which filters identically)
+    posting = posting.filter(F.col("token").isNotNull())
     w = Window.partitionBy(id_col).orderBy("pos")
     ctx = posting.select(
         F.col(id_col), "pos", "token", F.lag("token").over(w).alias("prev")
@@ -189,8 +213,12 @@ def ppl_bucket_expr(nll_col: str = "avg_nll", thresholds=(6.0, 7.0)):
     if not t1 < t2:
         raise ValueError(f"thresholds must be increasing, got {thresholds}")
     c = F.col(nll_col)
+    # NaN scores (alpha=0 OOV poisoning) get a NULL label — every NaN
+    # comparison is false, so without the guard they would silently
+    # fall through to 'tail'
     return (
-        F.when(c < F.lit(t1), F.lit("head"))
+        F.when(F.isnan(c.cast("double")), F.lit(None).cast("string"))
+        .when(c < F.lit(t1), F.lit("head"))
         .when(c < F.lit(t2), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )

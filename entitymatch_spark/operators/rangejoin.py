@@ -60,27 +60,42 @@ def interval_overlap_join(
             f"left/right column names must be disjoint; both have "
             f"{sorted(overlap_cols)} — alias one side first"
         )
+    if "__bin" in left.columns or "__bin" in right.columns:
+        raise ValueError(
+            "'__bin' is reserved by interval_overlap_join; rename it"
+        )
+
+    # identifiers go through F.expr — backtick-quote them so dotted /
+    # spaced names parse as columns, and a name that collides with a
+    # niladic SQL function (e.g. a column called current_date) cannot
+    # silently resolve to the function instead
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
 
     def binned(df: DataFrame, start: str, end: str) -> DataFrame:
-        return df.filter(F.col(end) > F.col(start)).withColumn(
+        # df[name] resolves the literal name (F.col would read '.' as
+        # struct access)
+        return df.filter(df[end] > df[start]).withColumn(
             "__bin",
             F.explode(
                 F.sequence(
-                    F.expr(f"{start} div {bin_width}"),
-                    F.expr(f"({end} - 1) div {bin_width}"),
+                    F.expr(f"{q(start)} div {bin_width}"),
+                    F.expr(f"({q(end)} - 1) div {bin_width}"),
                 )
             ),
         )
 
     lb = binned(left, l_start, l_end)
     rb = binned(right, r_start, r_end)
-    first_bin = F.expr(f"greatest({l_start}, {r_start}) div {bin_width}")
+    first_bin = F.expr(
+        f"greatest({q(l_start)}, {q(r_start)}) div {bin_width}"
+    )
     return (
         lb.join(rb, "__bin")
         .filter(
-            (F.col(l_start) < F.col(r_end))
-            & (F.col(r_start) < F.col(l_end))
+            (lb[l_start] < rb[r_end])
+            & (rb[r_start] < lb[l_end])
             & (F.col("__bin") == first_bin)
         )
-        .select(*left.columns, *right.columns)
+        .select(*[lb[c] for c in left.columns], *[rb[c] for c in right.columns])
     )

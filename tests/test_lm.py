@@ -168,6 +168,83 @@ def test_bigram_validation(spark):
         bigram_backoff_nll(posting, min_count=0)
 
 
+def test_alpha_zero_oov_poisons_with_nan(spark):
+    """An alpha=0 model reserves no OOV mass: a held-out doc with ANY
+    OOV token must score NaN (not a silently-shrunk average over its
+    in-vocab tokens), and its bucket label must be NULL (not 'tail')."""
+    from entitymatch_spark.operators.lm import (
+        ppl_bucket_expr,
+        unigram_model,
+        unigram_nll,
+    )
+
+    model = unigram_model(_posting(spark, CORPUS), alpha=0.0)
+    held_out = [
+        ("h1", ["the", "zebra", "sat"]),  # partial OOV -> NaN
+        ("h3", ["the", "dog", "mat"]),    # in-vocab -> finite MLE
+    ]
+    out = unigram_nll(_posting(spark, held_out), model).select(
+        "doc_id", "n_tokens", "avg_nll",
+        ppl_bucket_expr("avg_nll", (5.0, 6.0)).alias("b"),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got["h1"]["n_tokens"] == 3       # OOV token still counted
+    assert math.isnan(got["h1"]["avg_nll"])  # ...but poisons the score
+    assert got["h1"]["b"] is None
+    logp, _ = _py_model([t for _, t in CORPUS], 0.0)
+    assert got["h3"]["avg_nll"] == pytest.approx(
+        _py_nll(["the", "dog", "mat"], logp, None), abs=1e-9
+    )
+
+
+def test_oov_mass_comes_from_the_model_not_the_call(spark):
+    """The OOV probability is the one the MODEL reserved (alpha=0.1
+    here); the scoring call's own alpha default must not override it."""
+    from entitymatch_spark.operators.lm import unigram_model, unigram_nll
+
+    model = unigram_model(_posting(spark, CORPUS), alpha=0.1)
+    got = {
+        r["doc_id"]: r["avg_nll"]
+        for r in unigram_nll(_posting(spark, [("h2", ["qqq", "zzz"])]), model)
+        .collect()
+    }
+    _, oov = _py_model([t for _, t in CORPUS], 0.1)
+    assert got["h2"] == pytest.approx(-oov, abs=1e-9)
+
+
+def test_empty_model_scores_nan_not_empty(spark):
+    """Scoring against an (erroneously) empty model must surface NaN
+    rows, not silently return an empty DataFrame."""
+    from entitymatch_spark.operators.lm import unigram_model, unigram_nll
+
+    empty = unigram_model(_posting(spark, []).limit(0))
+    rows = unigram_nll(_posting(spark, CORPUS), empty).collect()
+    assert len(rows) == len(CORPUS)
+    assert all(math.isnan(r["avg_nll"]) for r in rows)
+
+
+def test_null_tokens_dropped_consistently(spark):
+    """A NULL element in the tokens array is not a token: both scorers
+    drop it (same n_tokens), and the bigram adjacency closes over it
+    instead of treating the next token as a document start."""
+    from pyspark.sql import functions as F
+
+    from entitymatch_spark.operators.lm import bigram_backoff_nll, unigram_nll
+
+    with_null = spark.createDataFrame(
+        [("d1", ["the", None, "cat"]), ("d2", ["the", "cat"])],
+        "doc_id string, tokens array<string>",
+    ).select("doc_id", F.posexplode_outer("tokens").alias("pos", "token"))
+    uni = {r["doc_id"]: r for r in unigram_nll(with_null).collect()}
+    big = {r["doc_id"]: r for r in bigram_backoff_nll(with_null).collect()}
+    assert uni["d1"]["n_tokens"] == big["d1"]["n_tokens"] == 2
+    # with the NULL closed over, d1's adjacency is (the, cat) — the
+    # same bigram d2 has, so their backoff scores agree exactly
+    assert big["d1"]["avg_nll"] == pytest.approx(
+        big["d2"]["avg_nll"], abs=1e-12
+    )
+
+
 def test_model_side_is_broadcast(spark):
     """The vocabulary-sized model must arrive at the scorer as a
     broadcast hash join — a shuffled sort-merge here would move the

@@ -52,6 +52,32 @@ def test_interval_overlap_join_semantics(spark):
         interval_overlap_join(L, L, "ls", "le", "ls", "le", 10)
 
 
+def test_reserved_and_awkward_column_names(spark):
+    """__bin is reserved (raises instead of silently corrupting a user
+    column of that name), and names that need backtick quoting — or
+    that collide with a niladic SQL function like current_date — still
+    resolve as columns, not as function calls."""
+    from entitymatch_spark.operators.rangejoin import interval_overlap_join
+
+    L = spark.createDataFrame(
+        [(1, 0, 100)], "lid int, `s start` long, `current_date` long"
+    )
+    R = spark.createDataFrame([(10, 50, 60)], "rid int, rs long, re long")
+    rows = interval_overlap_join(
+        L, R, "s start", "current_date", "rs", "re", 10
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(1, 10)]
+    assert rows[0]["s start"] == 0 and rows[0]["current_date"] == 100
+
+    bad = L.withColumnRenamed("lid", "__bin")
+    with pytest.raises(ValueError, match="__bin.*reserved"):
+        interval_overlap_join(bad, R, "s start", "current_date", "rs", "re", 10)
+    with pytest.raises(ValueError, match="reserved"):
+        interval_overlap_join(
+            R, bad, "rs", "re", "s start", "current_date", 10
+        )
+
+
 def test_interval_overlap_join_matches_brute_force(spark):
     """One-job fuzz: seeded random intervals (lengths from sub-bin to
     many-bin, starts across a wide axis) through the binned join vs a
