@@ -909,6 +909,33 @@ def q_bigram_nll(spark, sf):
     )
 
 
+def q_token_drift(spark, sf):
+    """Corpus-drift report (operators/drift.py): the en slice vs the
+    de slice of documents as two snapshots — per-token counts,
+    smoothed log-likelihood ratio, and Jensen-Shannon contribution
+    over the union vocabulary. Both sides collapse to vocab-sized
+    count tables before the full outer join, so nothing corpus-sized
+    moves. Expression trees are identical on both engines (counts are
+    exact ints), so the rounded doubles agree bit-for-bit."""
+    from entitymatch_spark.operators.drift import token_drift
+
+    docs = _docs(spark, sf)
+
+    def post(lang: str):
+        return docs.filter(F.col("lang") == lang).select(
+            "doc_id", F.posexplode("tokens").alias("pos", "token")
+        )
+
+    d = token_drift(post("en"), post("de"), alpha=0.5)
+    return d.select(
+        "token",
+        "n_a",
+        "n_b",
+        F.round("log_ratio", 6).alias("log_ratio"),
+        F.round("jsd_term", 9).alias("jsd_term"),
+    )
+
+
 def q_pivot_events(spark, sf):  # pivot as conditional aggregation
     ev = _t(spark, sf, "events")
     aggs = [
@@ -1850,6 +1877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         # ---- NEW continuation session: stupid-backoff bigram LM ----
         "bigram_nll": q_bigram_nll,
+        # ---- NEW continuation session: corpus drift report ----
+        "token_drift": q_token_drift,
         # ---- last driver row is r3 — rotate back inside the cap ----
         "embed_hash": q_embed_hash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3031,6 +3060,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u ON u.token = c.token
             CROSS JOIN tot t
             GROUP BY c.doc_id
+        """,
+        # drift: en vs de token distributions, add-0.5 smoothing over
+        # the union vocabulary; same expression trees as the Spark side
+        "token_drift": f"""
+            WITH ea AS (SELECT {TOKS} AS tk FROM documents WHERE lang = 'en'),
+            pa AS (SELECT unnest(tk) AS token FROM ea),
+            ca AS (SELECT token, count(*) AS n_a FROM pa GROUP BY token),
+            eb AS (SELECT {TOKS} AS tk FROM documents WHERE lang = 'de'),
+            pb AS (SELECT unnest(tk) AS token FROM eb),
+            cb AS (SELECT token, count(*) AS n_b FROM pb GROUP BY token),
+            j AS (SELECT coalesce(ca.token, cb.token) AS token,
+                         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                  FROM ca FULL JOIN cb ON ca.token = cb.token),
+            tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b,
+                           count(*) AS v FROM j),
+            p AS (SELECT token, n_a, n_b,
+                         (n_a + 0.5) / (t.t_a + 0.5 * t.v) AS sp_a,
+                         (n_b + 0.5) / (t.t_b + 0.5 * t.v) AS sp_b
+                  FROM j CROSS JOIN tot t)
+            SELECT token, n_a, n_b,
+                   round(ln(sp_a / sp_b), 6) AS log_ratio,
+                   round(0.5 * sp_a * ln(sp_a / ((sp_a + sp_b) / 2))
+                         + 0.5 * sp_b * ln(sp_b / ((sp_a + sp_b) / 2)),
+                         9) AS jsd_term
+            FROM p
         """,
         "sessionize_events": """
             WITH g AS (

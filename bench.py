@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     # md5 sample) in the portable-hash variant — the training-data
     # pipeline leg
     "curate_corpus",
+    # unigram-LM perplexity filter (broadcast model join + per-doc
+    # aggregate) — the LM-quality leg
+    "unigram_nll",
     "winnowing_fingerprints",
     "agg_lineitem",
     "histogram_summary",

@@ -87,6 +87,8 @@ _EXPORTS = {
     "unigram_nll": "entitymatch_spark.operators.lm",
     "bigram_backoff_nll": "entitymatch_spark.operators.lm",
     "ppl_bucket_expr": "entitymatch_spark.operators.lm",
+    "token_drift": "entitymatch_spark.operators.drift",
+    "drift_summary": "entitymatch_spark.operators.drift",
     # streaming
     "sessionize_stream": "entitymatch_spark.streaming.stateful",
 }
