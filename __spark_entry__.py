@@ -936,6 +936,35 @@ def q_token_drift(spark, sf):
     )
 
 
+def q_domain_cap(spark, sf):
+    """Per-domain cap (plans/curate.py cap_per_group): keep at most 15
+    documents per source, preferring longer docs (n_chars desc, doc_id
+    tiebreak) — the corpus-balancing step that stops the most-crawled
+    domain from dominating the mix. Rank-limit pushed into the window
+    (WindowGroupLimit), state per task bounded by the cap."""
+    from entitymatch_spark.plans.curate import cap_per_group
+
+    docs = _t(spark, sf, "documents")
+    kept = cap_per_group(
+        docs, "source", 15, [F.desc("n_chars"), F.asc("doc_id")]
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling (plans/curate.py): keep 1/2 of
+    en, 1/4 of de, 1/10 of fr documents by exact rational rates on the
+    shared md5 decision hash — rebalancing without a global count;
+    unlisted strata drop. Zero shuffle, parallelism-invariant."""
+    from entitymatch_spark.plans.curate import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": (1, 2), "de": (1, 4), "fr": (1, 10)}
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
 def q_pivot_events(spark, sf):  # pivot as conditional aggregation
     ev = _t(spark, sf, "events")
     aggs = [
@@ -1879,6 +1908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": q_bigram_nll,
         # ---- NEW continuation session: corpus drift report ----
         "token_drift": q_token_drift,
+        # ---- NEW continuation session: corpus-balancing policies ----
+        "domain_cap": q_domain_cap,
+        "stratified_sample": q_stratified_sample,
         # ---- last driver row is r3 — rotate back inside the cap ----
         "embed_hash": q_embed_hash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3085,6 +3117,25 @@ def oracle_sql() -> dict[str, str]:
                          + 0.5 * sp_b * ln(sp_b / ((sp_a + sp_b) / 2)),
                          9) AS jsd_term
             FROM p
+        """,
+        # per-domain cap: row_number under the same total order
+        "domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 15
+        """,
+        # stratified sampling: the shared md5 decision-hash idiom
+        # (split_assign's), reduced mod each stratum's denominator
+        "stratified_sample": """
+            WITH h AS (SELECT doc_id, lang, source,
+                              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+                       FROM documents)
+            SELECT doc_id, lang, source FROM h
+            WHERE (lang = 'en' AND hv % 2 < 1)
+               OR (lang = 'de' AND hv % 4 < 1)
+               OR (lang = 'fr' AND hv % 10 < 1)
         """,
         "sessionize_events": """
             WITH g AS (

@@ -66,6 +66,8 @@ _EXPORTS = {
     "CurateConfig": "entitymatch_spark.plans.curate",
     "curate": "entitymatch_spark.plans.curate",
     "split_assign": "entitymatch_spark.plans.curate",
+    "stratified_sample": "entitymatch_spark.plans.curate",
+    "cap_per_group": "entitymatch_spark.plans.curate",
     "contamination_report": "entitymatch_spark.operators.decontam",
     "fuzzy_contamination_report": "entitymatch_spark.operators.decontam",
     "decontaminate": "entitymatch_spark.operators.decontam",

@@ -83,16 +83,86 @@ class CurateConfig:
         _check_band_geometry(self.bands, self.rows_per_band, self.minhash_hashes)
 
 
-def sample_hash(id_col, mod: int, salt: str = ""):
-    """Deterministic per-id sampling hash in [0, mod): first 8 md5 hex
-    chars of the (salt-prefixed) id's decimal string, as an integer.
-    Portable — any engine with md5 reproduces the keep decision. THE
-    one definition of the decision hash: split_assign salts it rather
-    than re-deriving its own copy, so the two cannot drift."""
+def _decision_hash(id_col, salt: str = ""):
+    """The raw per-id decision integer (first 8 md5 hex chars of the
+    salt-prefixed id string). THE one hash every keep/label decision
+    derives from — sample_hash / split_assign / stratified_sample all
+    reduce it mod their own denominators, so they cannot drift."""
     key = F.col(id_col).cast("string")
     if salt:
         key = F.concat(F.lit(salt), key)
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def sample_hash(id_col, mod: int, salt: str = ""):
+    """Deterministic per-id sampling hash in [0, mod): first 8 md5 hex
+    chars of the (salt-prefixed) id's decimal string, as an integer.
+    Portable — any engine with md5 reproduces the keep decision."""
+    return _decision_hash(id_col, salt) % mod
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, tuple[int, int]],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows:
+    ``fractions[stratum] = (keep, mod)`` keeps a row iff its decision
+    hash ``% mod < keep`` — exact rational rates (1, 2) = half,
+    (1, 10) = a tenth, no float drift. Strata not listed are DROPPED
+    (an explicit ``(1, 1)`` keeps a stratum whole).
+
+    The keep decision depends only on (salt, id), so it is identical
+    at any parallelism, stable under reruns and corpus growth, and a
+    different ``salt`` draws an independent sample. Narrow per-row
+    column math — zero shuffle, streaming-valid; this is how you
+    rebalance a web corpus (downweight the over-crawled language /
+    domain) without a global count.
+    """
+    if not fractions:
+        raise ValueError("fractions must name at least one stratum")
+    h = _decision_hash(id_col, salt)
+    cond = None
+    for stratum, (keep, mod) in fractions.items():
+        if mod <= 0 or not 0 <= keep <= mod:
+            raise ValueError(
+                f"stratum {stratum!r}: need 0 <= keep <= mod and mod > 0, "
+                f"got (keep, mod) = {(keep, mod)}"
+            )
+        c = (F.col(strata_col) == F.lit(stratum)) & ((h % mod) < keep)
+        cond = c if cond is None else (cond | c)
+    return df.filter(cond)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, n: int, order_by: list
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, preferring the first rows in
+    ``order_by`` order — the per-domain cap of web-corpus curation
+    (bound any one source's share instead of letting the most-crawled
+    domain dominate the mix). ``order_by`` must be a TOTAL order
+    (break ties on a unique id) or the kept set is nondeterministic.
+
+    One shuffle on the group key; the rank-limit filter is pushed into
+    the window operator (WindowGroupLimit), so state per task is
+    bounded by n, not by the hottest group's row count — the property
+    that makes a 10^9-page domain safe to cap.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if "__rn" in df.columns:
+        raise ValueError("'__rn' is reserved by cap_per_group; rename it")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
 
 
 def curate(

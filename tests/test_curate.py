@@ -161,3 +161,105 @@ def test_verify_token_jaccard_accepts_legacy_float(spark):
     got_r = {(r["id_a"], r["id_b"])
              for r in verify_token_jaccard(pairs, docs, threshold=(1, 2)).collect()}
     assert got_f == got_r == {(0, 1)}  # jaccard 3/5 >= 1/2; 0/8 fails
+
+
+def test_cap_per_group_semantics(spark):
+    import pytest
+
+    from entitymatch_spark.plans.curate import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", i, 100 - i) for i in range(5)]
+        + [("b", 10, 7), ("b", 11, 7)]       # tie on score -> id breaks it
+        + [("c", 20, 1)],                    # under the cap -> kept whole
+        "grp string, doc_id long, score long",
+    )
+    kept = cap_per_group(
+        df, "grp", 3, [F.desc("score"), F.asc("doc_id")]
+    ).collect()
+    by_grp: dict[str, list[int]] = {}
+    for r in kept:
+        by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+    assert sorted(by_grp["a"]) == [0, 1, 2]  # top-3 by score desc
+    assert sorted(by_grp["b"]) == [10, 11]
+    assert by_grp["c"] == [20]
+    assert "__rn" not in kept[0].asDict()    # helper column dropped
+
+    with pytest.raises(ValueError, match="n must be"):
+        cap_per_group(df, "grp", 0, [F.asc("doc_id")])
+    with pytest.raises(ValueError, match="__rn.*reserved"):
+        cap_per_group(
+            df.withColumnRenamed("score", "__rn"), "grp", 1, [F.asc("doc_id")]
+        )
+
+
+def test_cap_per_group_pushes_rank_limit(spark):
+    """The cap must plan as WindowGroupLimit (bounded per-task state),
+    not a full window over the hottest group."""
+    from entitymatch_spark.plans.curate import cap_per_group
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("grp"), F.col("id").alias("doc_id")
+    )
+    plan = (
+        cap_per_group(df, "grp", 3, [F.asc("doc_id")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_stratified_sample_deterministic_and_consistent(spark):
+    import pytest
+
+    from entitymatch_spark.plans.curate import sample_hash, stratified_sample
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    frac = {"en": (1, 2), "de": (1, 4)}
+    a = {r["doc_id"] for r in stratified_sample(docs, "lang", frac).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7), "lang", frac
+        ).collect()
+    }
+    assert a == b  # parallelism-invariant
+
+    # unlisted stratum (fr) fully dropped
+    langs = {
+        r["lang"]
+        for r in stratified_sample(docs, "lang", frac)
+        .select("lang").distinct().collect()
+    }
+    assert langs == {"en", "de"}
+
+    # single-stratum decision == sample_hash with the same (keep, mod)
+    en_only = docs.filter(F.col("lang") == "en")
+    via_strat = {
+        r["doc_id"]
+        for r in stratified_sample(en_only, "lang", {"en": (1, 4)}).collect()
+    }
+    via_hash = {
+        r["doc_id"]
+        for r in en_only.filter(sample_hash("doc_id", 4) < 1).collect()
+    }
+    assert via_strat == via_hash
+
+    # a different salt draws an independent sample (not identical)
+    salted = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "lang", frac, salt="v2"
+        ).collect()
+    }
+    assert salted != a
+
+    with pytest.raises(ValueError, match="at least one stratum"):
+        stratified_sample(docs, "lang", {})
+    with pytest.raises(ValueError, match="keep <= mod"):
+        stratified_sample(docs, "lang", {"en": (5, 4)})
