@@ -965,6 +965,27 @@ def q_stratified_sample(spark, sf):
     return kept.select("doc_id", "lang", "source")
 
 
+def q_length_quantiles(spark, sf):
+    """Per-language doc-length profile (textstats.group_quantiles):
+    exact p10/p50/p90 + min/max of n_chars — the distribution read a
+    curation run takes before picking thresholds. Exact percentile
+    both engines (same linear interpolation); the operator's
+    exact=False approx_percentile form is the huge-group scale path."""
+    from entitymatch_spark.operators.textstats import group_quantiles
+
+    docs = _t(spark, sf, "documents")
+    q = group_quantiles(docs, "n_chars", "lang", (0.1, 0.5, 0.9))
+    return q.select(
+        "lang",
+        "n",
+        F.round("p10", 6).alias("p10"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        "min_value",
+        "max_value",
+    )
+
+
 def q_pivot_events(spark, sf):  # pivot as conditional aggregation
     ev = _t(spark, sf, "events")
     aggs = [
@@ -1911,6 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- NEW continuation session: corpus-balancing policies ----
         "domain_cap": q_domain_cap,
         "stratified_sample": q_stratified_sample,
+        # ---- NEW continuation session: quantile observability ----
+        "length_quantiles": q_length_quantiles,
         # ---- last driver row is r3 — rotate back inside the cap ----
         "embed_hash": q_embed_hash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3117,6 +3140,17 @@ def oracle_sql() -> dict[str, str]:
                          + 0.5 * sp_b * ln(sp_b / ((sp_a + sp_b) / 2)),
                          9) AS jsd_term
             FROM p
+        """,
+        # exact percentiles: both engines interpolate linearly between
+        # closest ranks, so the rounded doubles agree bit-for-bit
+        "length_quantiles": """
+            SELECT lang, count(*) AS n,
+                   round(quantile_cont(n_chars, 0.1), 6) AS p10,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   min(n_chars) AS min_value,
+                   max(n_chars) AS max_value
+            FROM documents GROUP BY lang
         """,
         # per-domain cap: row_number under the same total order
         "domain_cap": """

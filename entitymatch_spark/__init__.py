@@ -85,6 +85,7 @@ _EXPORTS = {
     "lang_id": "entitymatch_spark.operators.textstats",
     "token_count": "entitymatch_spark.operators.textstats",
     "repetition_signals": "entitymatch_spark.operators.textstats",
+    "group_quantiles": "entitymatch_spark.operators.textstats",
     "unigram_model": "entitymatch_spark.operators.lm",
     "unigram_nll": "entitymatch_spark.operators.lm",
     "bigram_backoff_nll": "entitymatch_spark.operators.lm",

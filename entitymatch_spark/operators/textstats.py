@@ -349,3 +349,42 @@ def repetition_signals(
             frac(F.col("big_dup"), F.col("big_n")).alias("dup_bigram_frac"),
         )
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    probs: tuple[float, ...] = (0.1, 0.5, 0.9),
+    *,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group distribution summary: count, the requested quantiles
+    (``pNN`` columns, linear interpolation), min, max — the length /
+    score profile a curation run reads before picking thresholds.
+
+    ``exact=True`` uses ``percentile`` — it buffers each group's
+    values, fine for per-language/per-domain groups (thousands of
+    groups, bounded members) and for calibration samples, and it is
+    what the DuckDB oracle reproduces bit-for-bit. At 100 TB with
+    huge groups flip to ``exact=False``: ``approx_percentile``
+    (t-digest-style sketch, ``accuracy`` trades memory for error) is
+    a bounded-state partial aggregate that map-side combines like any
+    sum.
+    """
+    for p in probs:
+        if not 0 <= p <= 1:
+            raise ValueError(f"probs must be in [0, 1], got {p}")
+    fn = "percentile" if exact else "approx_percentile"
+    extra = f", {int(accuracy)}" if not exact else ""
+    aggs = [F.count("*").alias("n")]
+    for p in probs:
+        aggs.append(
+            F.expr(f"{fn}(`{value_col}`, {p!r}{extra})").alias(
+                f"p{int(round(p * 100)):02d}"
+            )
+        )
+    aggs.append(F.min(value_col).alias("min_value"))
+    aggs.append(F.max(value_col).alias("max_value"))
+    return df.groupBy(group_col).agg(*aggs)

@@ -910,3 +910,40 @@ def test_strip_duplicate_spans_roundtrip(spark):
     assert got == want
     assert got[3] == ("z w z w z".split(), 0)  # untouched doc intact
     assert got[4] == ([], 12)                  # fully-duplicate doc empties
+
+
+def test_group_quantiles_exact_and_approx(spark):
+    import pytest
+
+    from entitymatch_spark.operators.textstats import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [10, 20, 30, 40]] + [("b", 5)],
+        "grp string, v long",
+    )
+    got = {
+        r["grp"]: r
+        for r in group_quantiles(df, "v", "grp", (0.25, 0.5)).collect()
+    }
+    # linear interpolation between closest ranks: for [10,20,30,40]
+    # p25 = 10 + 0.75*(20-10) = 17.5, p50 = 20 + 0.5*(30-20) = 25
+    a = got["a"]
+    assert (a["n"], a["min_value"], a["max_value"]) == (4, 10, 40)
+    assert a["p25"] == pytest.approx(17.5)
+    assert a["p50"] == pytest.approx(25.0)
+    b = got["b"]  # single value: every quantile is it
+    assert (b["p25"], b["p50"]) == (5.0, 5.0)
+
+    # approx path: bounded-state sketch, lands on a real value near
+    # the exact rank for a tight distribution
+    approx = {
+        r["grp"]: r["p50"]
+        for r in group_quantiles(
+            df, "v", "grp", (0.5,), exact=False
+        ).collect()
+    }
+    assert approx["a"] in (20, 30)
+    assert approx["b"] == 5
+
+    with pytest.raises(ValueError, match=r"probs must be in \[0, 1\]"):
+        group_quantiles(df, "v", "grp", (1.5,))
