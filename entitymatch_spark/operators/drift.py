@@ -40,7 +40,7 @@ def token_drift(
     — it must be positive so a token absent from one side gets finite
     mass instead of ``ln 0``.
     """
-    if alpha <= 0:
+    if not alpha > 0:  # 'not >' also rejects NaN, which '<= 0' lets by
         raise ValueError(f"alpha must be > 0, got {alpha}")
 
     def counts(posting: DataFrame, out: str) -> DataFrame:

@@ -46,7 +46,7 @@ def unigram_model(posting: DataFrame, alpha: float = 1.0) -> DataFrame:
     one-row cross join so downstream scoring never needs a driver
     collect; the whole table stays vocabulary-sized.
     """
-    if alpha < 0:
+    if not alpha >= 0:  # 'not >=' also rejects NaN
         raise ValueError(f"alpha must be >= 0, got {alpha}")
     counts = (
         posting.filter(F.col("token").isNotNull())

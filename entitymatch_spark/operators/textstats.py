@@ -15,27 +15,40 @@ FR_STOPWORDS = ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour
 
 
 def _hits(tokens_col: str, words: list[str]):
+    # array_intersect already returns distinct elements — no
+    # array_distinct needed
     arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.array_intersect(F.array_distinct(tokens_col), arr))
+    return F.size(F.array_intersect(tokens_col, arr))
 
 
-def pred_lang_expr(tokens_col: str = "tokens"):
-    """Predicted-language column (stopword vote, deterministic tie
-    order en>de>fr, 'und' on no hits) — shared by lang_id and any
-    per-row composition that wants the label without a join (e.g. the
-    per-source rollup)."""
+def _lang_vote(tokens_col: str):
+    """(en, de, fr, pred) — the ONE construction of the stopword-vote
+    expressions, so lang_id and pred_lang_expr cannot drift and a
+    projection using both doesn't build the intersects twice."""
     en, de, fr = (
         _hits(tokens_col, EN_STOPWORDS),
         _hits(tokens_col, DE_STOPWORDS),
         _hits(tokens_col, FR_STOPWORDS),
     )
     best = F.greatest(en, de, fr)
-    return (
-        F.when(best == 0, F.lit("und"))
+    pred = (
+        # best is NULL for a NULL tokens array — without the isNull
+        # branch every when-condition is NULL(false) and the otherwise
+        # would mislabel a token-less doc 'fr'
+        F.when(best.isNull() | (best == 0), F.lit("und"))
         .when(en == best, F.lit("en"))
         .when(de == best, F.lit("de"))
         .otherwise(F.lit("fr"))
     )
+    return en, de, fr, pred
+
+
+def pred_lang_expr(tokens_col: str = "tokens"):
+    """Predicted-language column (stopword vote, deterministic tie
+    order en>de>fr, 'und' on no hits or a NULL array) — shared by
+    lang_id and any per-row composition that wants the label without
+    a join (e.g. the per-source rollup)."""
+    return _lang_vote(tokens_col)[3]
 
 
 def lang_id(
@@ -43,13 +56,8 @@ def lang_id(
 ) -> DataFrame:
     """(id, en/de/fr stopword hits, pred_lang): n-gram-free stopword-vote
     language heuristic; argmax with deterministic tie order en>de>fr,
-    'und' when nothing matches."""
-    en, de, fr = (
-        _hits(tokens_col, EN_STOPWORDS),
-        _hits(tokens_col, DE_STOPWORDS),
-        _hits(tokens_col, FR_STOPWORDS),
-    )
-    pred = pred_lang_expr(tokens_col)
+    'und' when nothing matches or the array is NULL."""
+    en, de, fr, pred = _lang_vote(tokens_col)
     return docs.select(
         F.col(id_col),
         en.cast("long").alias("en_hits"),
@@ -80,8 +88,13 @@ def _quality_parts(tokens_col: str, stopwords: list[str] | None = None):
     stop_occ = F.size(
         F.filter(tokens_col, lambda t: F.array_contains(sw_arr, t))
     )
+    # F.aggregate, never an f-string splice — the module's no-splice
+    # rule applies to column names too (backtickless hyphenated/keyword
+    # names would parse wrong)
     mean_len = (
-        F.expr(f"aggregate({tokens_col}, 0D, (acc, t) -> acc + length(t))")
+        F.aggregate(
+            tokens_col, F.lit(0.0), lambda acc, t: acc + F.length(t)
+        )
         / n_tok
     )
     uniq_ratio = n_uniq / n_tok
@@ -178,8 +191,10 @@ def quality_at_least(
     s = F.size(
         F.filter(tokens_col, lambda t: F.array_contains(sw_arr, t))
     ).cast("long")
-    tl = F.expr(
-        f"aggregate({tokens_col}, 0L, (acc, t) -> acc + length(t))"
+    tl = F.aggregate(
+        tokens_col,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t),
     )
     capped = qden * (4 * u + 3 * (n - s) + 3 * n) >= 10 * qnum * n
     uncapped = qden * (32 * u + 24 * (n - s) + 3 * tl) >= 80 * qnum * n
@@ -376,15 +391,18 @@ def group_quantiles(
     for p in probs:
         if not 0 <= p <= 1:
             raise ValueError(f"probs must be in [0, 1], got {p}")
+    names = [f"p{int(round(p * 100)):02d}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"probs {probs} collide after pNN naming ({names}); "
+            "quantiles closer than 1% need distinct percent labels"
+        )
     fn = "percentile" if exact else "approx_percentile"
     extra = f", {int(accuracy)}" if not exact else ""
+    quoted = "`" + value_col.replace("`", "``") + "`"
     aggs = [F.count("*").alias("n")]
-    for p in probs:
-        aggs.append(
-            F.expr(f"{fn}(`{value_col}`, {p!r}{extra})").alias(
-                f"p{int(round(p * 100)):02d}"
-            )
-        )
+    for p, name in zip(probs, names):
+        aggs.append(F.expr(f"{fn}({quoted}, {p!r}{extra})").alias(name))
     aggs.append(F.min(value_col).alias("min_value"))
     aggs.append(F.max(value_col).alias("max_value"))
     return df.groupBy(group_col).agg(*aggs)

@@ -43,8 +43,18 @@ class CurateConfig:
     in both engines or in neither.
 
     ``sample_keep``/``sample_mod``: keep a survivor iff
-    ``md5_int(id) % sample_mod < sample_keep`` (None = keep all).
-    Content-deterministic — the same docs survive at any parallelism.
+    ``md5_int(salt + id) % sample_mod < sample_keep`` (None = keep
+    all). Content-deterministic — the same docs survive at any
+    parallelism. CAUTION: with the default empty ``sample_salt`` this
+    is the SAME decision hash split_assign reduces — sampling here and
+    then splitting with both salts empty correlates the decisions
+    (e.g. keep < 1000 of 10000 is a subset of train's < 9000, so val/
+    test come out empty). Salt ONE of the two when composing them.
+
+    ``cache_pool``: persist the quality-filtered pool (same dial as
+    MatchConfig.cache) — the pool lineage (scan + tokenize + gate) is
+    referenced by the stats, signature, and verify stages, so without
+    the persist it recomputes per reference.
     """
 
     quality_min: tuple[int, int] = (62, 100)
@@ -55,11 +65,25 @@ class CurateConfig:
     jaccard_threshold: tuple[int, int] = (1, 2)
     sample_keep: int | None = None
     sample_mod: int = 10000
+    sample_salt: str = ""
     token_hash: str = "xxhash64"  # "md5" = oracle-portable variant
     band_hash: str = "xxhash64"   # "concat" = oracle-portable variant
     seed: int = 42
+    cache_pool: bool = True
 
     def __post_init__(self):
+        if self.sample_keep is not None:
+            if (
+                not isinstance(self.sample_keep, int)
+                or not isinstance(self.sample_mod, int)
+                or self.sample_mod <= 0
+                or not 0 <= self.sample_keep <= self.sample_mod
+            ):
+                raise ValueError(
+                    "need integer 0 <= sample_keep <= sample_mod and "
+                    f"sample_mod > 0, got sample_keep={self.sample_keep!r} "
+                    f"sample_mod={self.sample_mod!r}"
+                )
         # legacy callers pass floats (the pre-rational API shape,
         # e.g. quality_min=0.62); coerce to an exact (num, den) pair
         # here instead of failing with an opaque unpacking error deep
@@ -197,6 +221,12 @@ def curate(
     # integer-exact gate FIRST (no join needed: quality_score of the
     # kept pool yields exactly the filtered stats)
     pool = toks.filter(quality_at_least("tokens", cfg.quality_min))
+    if cfg.cache_pool:
+        # the pool lineage feeds stats, signatures, AND both sides of
+        # the jaccard verify — unpersisted, the corpus scan + tokenize
+        # + gate re-execute once per reference (MEMORY_AND_DISK, the
+        # same tradeoff MatchConfig.cache makes for the match docs)
+        pool = pool.persist()
     stats = quality_score(pool, id_col=id_col)
 
     sigs = minhash_signature(
@@ -214,7 +244,7 @@ def curate(
         band_hash=cfg.band_hash,
         sig_len=cfg.minhash_hashes,
     )
-    cand = candidate_pairs(keys, max_block=cfg.max_block)
+    cand = candidate_pairs(keys, max_block=cfg.max_block, id_col=id_col)
 
     ver = verify_token_jaccard(
         cand, pool, threshold=cfg.jaccard_threshold, id_col=id_col
@@ -225,7 +255,8 @@ def curate(
     )
     if cfg.sample_keep is not None:
         out = out.filter(
-            sample_hash(id_col, cfg.sample_mod) < cfg.sample_keep
+            sample_hash(id_col, cfg.sample_mod, cfg.sample_salt)
+            < cfg.sample_keep
         )
     return out.select(id_col, "n_tokens", "quality", "n_members")
 
@@ -252,6 +283,10 @@ def split_assign(
     Narrow per-row column math — no shuffle, valid in streaming plans.
     """
     splits = splits or {"train": 9000, "val": 500, "test": 500}
+    if any(w < 0 for w in splits.values()):
+        # a negative weight still sums to mod but pushes a cumulative
+        # edge past mod, silently swallowing the later splits
+        raise ValueError(f"split weights must be >= 0, got {splits}")
     if sum(splits.values()) != mod:
         raise ValueError(
             f"split weights {splits} must sum to mod={mod} "

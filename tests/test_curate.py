@@ -263,3 +263,62 @@ def test_stratified_sample_deterministic_and_consistent(spark):
         stratified_sample(docs, "lang", {})
     with pytest.raises(ValueError, match="keep <= mod"):
         stratified_sample(docs, "lang", {"en": (5, 4)})
+
+
+def test_curate_forwards_id_col(spark):
+    """curate(id_col=...) must thread the id through every stage —
+    candidate_pairs previously defaulted to doc_id and crashed."""
+    from entitymatch_spark.plans.curate import curate
+
+    pages = _pages(spark).withColumnRenamed("doc_id", "page_id")
+    out = {
+        r["page_id"]: r
+        for r in curate(pages, CurateConfig(), id_col="page_id").collect()
+    }
+    assert 0 in out and out[0]["n_members"] == 2  # same verdicts as default
+
+
+def test_curate_sample_salt_draws_independent_sample(spark):
+    from entitymatch_spark.plans.curate import curate
+
+    pages = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique prose number "),
+            F.col("id"),
+            F.lit(" about shuffle topology and adaptive salting"),
+        ).alias("text"),
+    )
+    base = {
+        r["doc_id"]
+        for r in curate(
+            pages, CurateConfig(sample_keep=5000, sample_mod=10000)
+        ).collect()
+    }
+    salted = {
+        r["doc_id"]
+        for r in curate(
+            pages,
+            CurateConfig(
+                sample_keep=5000, sample_mod=10000, sample_salt="v2"
+            ),
+        ).collect()
+    }
+    assert base and salted and base != salted
+
+
+def test_curate_and_split_validation(spark):
+    import pytest
+
+    from entitymatch_spark.plans.curate import split_assign
+
+    with pytest.raises(ValueError, match="sample_keep"):
+        CurateConfig(sample_keep=100, sample_mod=0)
+    with pytest.raises(ValueError, match="sample_keep"):
+        CurateConfig(sample_keep=0.5)
+    with pytest.raises(ValueError, match="sample_keep"):
+        CurateConfig(sample_keep=20000, sample_mod=10000)
+    with pytest.raises(ValueError, match=">= 0"):
+        split_assign(
+            _pages(spark), {"train": 10500, "val": -500}, mod=10000
+        )

@@ -947,3 +947,44 @@ def test_group_quantiles_exact_and_approx(spark):
 
     with pytest.raises(ValueError, match=r"probs must be in \[0, 1\]"):
         group_quantiles(df, "v", "grp", (1.5,))
+
+
+def test_lang_id_null_tokens_is_und(spark):
+    """A NULL tokens array (NULL text upstream) must classify 'und',
+    not fall through the NULL-condition when-chain to 'fr'."""
+    from entitymatch_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [(1, None), (2, []), (3, ["the", "of"])],
+        "doc_id long, tokens array<string>",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {1: "und", 2: "und", 3: "en"}
+
+
+def test_quality_handles_awkward_column_name(spark):
+    """The quality expressions must not splice the tokens column name
+    into SQL text — a spaced name exercises the F.aggregate path."""
+    from entitymatch_spark.operators.textstats import (
+        quality_at_least,
+        quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["alpha", "beta", "gamma", "delta"])],
+        "doc_id long, `token list` array<string>",
+    )
+    r = quality_score(df, tokens_col="token list").collect()[0]
+    assert r["n_tokens"] == 4 and r["uniq_ratio"] == 1.0
+    kept = df.filter(quality_at_least("token list", (1, 2))).count()
+    assert kept == 1
+
+
+def test_group_quantiles_rejects_colliding_probs(spark):
+    import pytest
+
+    from entitymatch_spark.operators.textstats import group_quantiles
+
+    df = spark.createDataFrame([("a", 1)], "grp string, v long")
+    with pytest.raises(ValueError, match="collide"):
+        group_quantiles(df, "v", "grp", (0.25, 0.254))

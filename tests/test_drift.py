@@ -90,3 +90,14 @@ def test_drift_validation_and_null_tokens(spark):
     assert None not in {r["token"] for r in d.collect()}
     got = {r["token"]: r["n_a"] for r in d.collect()}
     assert got["the"] == 1  # NULL dropped, not counted
+
+
+def test_drift_rejects_nan_alpha(spark):
+    import pytest
+
+    from entitymatch_spark.operators.drift import token_drift
+
+    with pytest.raises(ValueError, match="alpha"):
+        token_drift(
+            _posting(spark, A), _posting(spark, B), alpha=float("nan")
+        )
