@@ -253,3 +253,116 @@ def test_tokens_stable_under_renormalization(s):
     # raw-text tokenization: the second normalize pass may trim edge
     # whitespace the paren-strip exposed, but \w+ runs can't change.
     assert py_tokenize(py_normalize(s)) == py_tokenize(s)
+
+
+# --- unigram LM / stupid backoff / drift (operators/lm.py, drift.py) ----
+# Pure-Python golden twins of the Spark formulas (Spark parity is pinned
+# value-for-value in tests/test_lm.py / test_drift.py); here hypothesis
+# drives the FORMULA invariants: Gibbs' inequality for the smoothed
+# cross-entropy, JSD bounds/symmetry, backoff score validity.
+
+import math as _math
+
+import pytest
+
+corpus_strategy = st.lists(
+    st.lists(st.text(alphabet="abcde", min_size=1, max_size=3),
+             min_size=1, max_size=8),
+    min_size=1, max_size=6,
+)
+
+
+def _uni_counts(corpus):
+    c: dict[str, int] = {}
+    for toks in corpus:
+        for t in toks:
+            c[t] = c.get(t, 0) + 1
+    return c, sum(c.values())
+
+
+def _uni_logp(counts, total, alpha):
+    denom = total + alpha * (len(counts) + 1)
+    return {t: _math.log((n + alpha) / denom) for t, n in counts.items()}
+
+
+@COMMON
+@given(corpus_strategy, st.floats(min_value=0.0, max_value=5.0,
+                                  allow_nan=False))
+def test_unigram_cross_entropy_bound(corpus, alpha):
+    """Token-weighted mean self-scored nll equals the corpus unigram
+    entropy at alpha=0 (MLE) and can only EXCEED it for alpha>0 —
+    Gibbs' inequality: cross-entropy H(p, q_smoothed) >= H(p)."""
+    counts, total = _uni_counts(corpus)
+    entropy = -sum(
+        (n / total) * _math.log(n / total) for n in counts.values()
+    )
+    logp = _uni_logp(counts, total, alpha)
+    xent = -sum((n / total) * logp[t] for t, n in counts.items())
+    assert xent >= entropy - 1e-9
+    if alpha == 0:
+        assert xent == pytest.approx(entropy, abs=1e-9)
+
+
+@COMMON
+@given(corpus_strategy, corpus_strategy,
+       st.floats(min_value=1e-3, max_value=5.0, allow_nan=False))
+def test_jsd_bounds_symmetry_antisymmetry(corpus_a, corpus_b, alpha):
+    """JSD of the smoothed distributions is symmetric, in [0, ln 2],
+    zero on identical corpora; per-token log-ratios are antisymmetric."""
+
+    def smoothed(corpus_x, corpus_y):
+        ca, ta = _uni_counts(corpus_x)
+        cb, tb = _uni_counts(corpus_y)
+        vocab = sorted(set(ca) | set(cb))
+        v = len(vocab)
+        pa = {t: (ca.get(t, 0) + alpha) / (ta + alpha * v) for t in vocab}
+        pb = {t: (cb.get(t, 0) + alpha) / (tb + alpha * v) for t in vocab}
+        return vocab, pa, pb
+
+    def jsd(pa, pb, vocab):
+        out = 0.0
+        for t in vocab:
+            m = (pa[t] + pb[t]) / 2
+            out += 0.5 * pa[t] * _math.log(pa[t] / m)
+            out += 0.5 * pb[t] * _math.log(pb[t] / m)
+        return out
+
+    vocab, pa, pb = smoothed(corpus_a, corpus_b)
+    fwd = jsd(pa, pb, vocab)
+    assert -1e-12 <= fwd <= _math.log(2) + 1e-12
+    vocab_r, pa_r, pb_r = smoothed(corpus_b, corpus_a)
+    assert fwd == pytest.approx(jsd(pa_r, pb_r, vocab_r), abs=1e-12)
+    for t in vocab:
+        lr = _math.log(pa[t] / pb[t])
+        assert lr == pytest.approx(-_math.log(pb[t] / pa[t]), abs=1e-12)
+    vocab_s, ps, qs = smoothed(corpus_a, corpus_a)
+    assert jsd(ps, qs, vocab_s) == pytest.approx(0.0, abs=1e-12)
+
+
+@COMMON
+@given(corpus_strategy, st.integers(min_value=1, max_value=3))
+def test_stupid_backoff_scores_valid(corpus, min_count):
+    """Every stupid-backoff score is a finite value in (0, 1]: bigram
+    MLE <= 1, the 0.4-discounted unigram fallback < 1, first-token
+    unigram MLE <= 1 — so per-doc nll is finite and >= 0 regardless of
+    corpus shape or pruning level."""
+    uni, total = _uni_counts(corpus)
+    big: dict[tuple[str, str], int] = {}
+    for toks in corpus:
+        for i in range(1, len(toks)):
+            k = (toks[i - 1], toks[i])
+            big[k] = big.get(k, 0) + 1
+    big = {k: c for k, c in big.items() if c >= min_count}
+    for toks in corpus:
+        nll_terms = []
+        for i, t in enumerate(toks):
+            if i == 0:
+                s = uni[t] / total
+            elif (toks[i - 1], t) in big:
+                s = big[(toks[i - 1], t)] / uni[toks[i - 1]]
+            else:
+                s = 0.4 * uni[t] / total
+            assert 0.0 < s <= 1.0
+            nll_terms.append(-_math.log(s))
+        nll = sum(nll_terms) / len(nll_terms)
+        assert _math.isfinite(nll) and nll >= -1e-12
