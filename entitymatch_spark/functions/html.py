@@ -48,11 +48,19 @@ def html_to_text(col: str | Column, collapse_ws: bool = False) -> Column:
     # drop non-content sections (dotall + case-insensitive); the second
     # alternative of each pattern handles an UNCLOSED open tag by
     # dropping through end-of-input (truncated/hostile pages must not
-    # leak raw script/style bytes into the "text")
+    # leak raw script/style bytes into the "text").
+    # COMMENTS FIRST: a commented-out include ("<!-- <script src=x> -->")
+    # must not let the unclosed-script rule eat the rest of the page,
+    # and the legacy "<script><!-- code //--></script>" hiding idiom
+    # reduces to an empty script pair. Residual (documented): a script
+    # body containing "<!--" with NO later "-->" anywhere in the
+    # document merges the comment-to-EOF drop with the script rule and
+    # over-trims — the mirrored case of the order this replaces, but
+    # the far rarer one in web text.
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->|<!--.*$", "")
     c = F.regexp_replace(c, r"(?is)<head\b.*?</head>|<head\b.*$", "")
     c = F.regexp_replace(c, r"(?is)<script\b.*?</script>|<script\b.*$", "")
     c = F.regexp_replace(c, r"(?is)<style\b.*?</style>|<style\b.*$", "")
-    c = F.regexp_replace(c, r"(?s)<!--.*?-->|<!--.*$", "")
     # strip remaining tags
     c = F.regexp_replace(c, r"(?s)<[^>]*>", "")
     # entities: named subset + the numeric (decimal/hex) forms of the

@@ -44,7 +44,15 @@ def vocab_prefixes(vocab: DataFrame, token_col: str = "token") -> DataFrame:
     the trie's node set (each trie node IS a distinct prefix). Build
     once, reuse across query batches.
     """
-    v = vocab.select(token_col).distinct()
+    # empty/NULL tokens have no prefixes — and sequence(1, 0) is the
+    # DESCENDING [1, 0], so an unfiltered "" would emit two bogus rows
+    # whose prefix='' then matches every short query at distance
+    # len(q), silently eating top-L slots
+    v = (
+        vocab.select(token_col)
+        .filter(F.length(token_col) >= 1)
+        .distinct()
+    )
     return (
         v.withColumn(
             "prefix_len", F.explode(F.sequence(F.lit(1), F.length(token_col)))
@@ -120,7 +128,12 @@ def complete_topl(
         # vocab token appearing with two weight values would fan each
         # completion into two ranked rows and eat top-L slots
         w = vocab.groupBy(token_col).agg(F.max(weight_col).alias(weight_col))
-        per_tok = per_tok.join(F.broadcast(w), token_col)
+        # no broadcast hint: w is VOCABULARY-sized (the big side at
+        # corpus scale — forcing it to the driver inverts the design),
+        # while per_tok is queries x candidates (small for interactive
+        # batches but unbounded for offline ones). Let the planner/AQE
+        # pick the build side from actual sizes.
+        per_tok = per_tok.join(w, token_col)
         order.append(F.desc(weight_col))
     order.append(F.asc(token_col))
     win = Window.partitionBy(query_col).orderBy(*order)

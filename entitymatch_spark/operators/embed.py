@@ -43,7 +43,11 @@ def hash_embed(
     slot(t) = md5_60bit(t) mod dim; sign(t) = parity of the next hex
     nibble; v[j] = sum of sign(t) * tf(t) over tokens in slot j.
     """
-    posting = docs.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+    # NULL tokens are not tokens (md5(NULL) would propagate into a
+    # NULL map key and kill the job with NULL_MAP_KEY on one dirty row)
+    posting = docs.select(
+        F.col(id_col), F.explode(tokens_col).alias("token")
+    ).filter(F.col("token").isNotNull())
     h = F.md5(F.col("token"))
     slot = F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(dim))
     sign = F.when(

@@ -102,6 +102,19 @@ def write_table(
     """
     from pyspark.errors import AnalysisException
 
+    if is_table_name(target) and mode in ("error", "errorifexists", "ignore"):
+        # the V2 writeTo path has only replace/append verbs, and the
+        # old coercion silently APPENDED under these modes — honor
+        # them explicitly instead: a caller using errorifexists as a
+        # double-write guard must not duplicate the table
+        if df.sparkSession.catalog.tableExists(target):
+            if mode == "ignore":
+                return
+            raise ValueError(
+                f"table {target!r} already exists (mode={mode!r})"
+            )
+        mode = "append"  # table absent: create it
+
     if buckets is not None:
         if not is_table_name(target):
             raise ValueError(

@@ -152,3 +152,26 @@ def test_complete_topl_dedups_vocab_weights(spark):
     assert toks.count("paris") == 1
     paris = [r for r in out if r.token == "paris"][0]
     assert paris.weight == 12  # max wins
+
+
+def test_vocab_prefixes_drops_empty_and_null_tokens(spark):
+    """sequence(1, 0) is the DESCENDING [1, 0] in Spark, so an
+    unfiltered '' token emitted prefix rows whose '' prefix matched
+    every short query; empty/NULL vocab tokens must yield no rows."""
+    from pyspark.sql import functions as F
+
+    from entitymatch_spark.operators.autocomplete import (
+        complete_topl,
+        vocab_prefixes,
+    )
+
+    vocab = spark.createDataFrame(
+        [("",), (None,), ("ab",)], "token string"
+    )
+    rows = vocab_prefixes(vocab).collect()
+    assert {r["token"] for r in rows} == {"ab"}
+    assert {r["prefix"] for r in rows} == {"a", "ab"}
+
+    queries = spark.createDataFrame([("a",)], "query string")
+    got = complete_topl(queries, vocab, max_edit=1, top_l=5).collect()
+    assert all(r["token"] == "ab" for r in got)  # '' never ranks

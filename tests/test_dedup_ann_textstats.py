@@ -988,3 +988,18 @@ def test_group_quantiles_rejects_colliding_probs(spark):
     df = spark.createDataFrame([("a", 1)], "grp string, v long")
     with pytest.raises(ValueError, match="collide"):
         group_quantiles(df, "v", "grp", (0.25, 0.254))
+
+
+def test_hash_embed_skips_null_tokens(spark):
+    """A NULL element in one doc's tokens array must not kill the job
+    with NULL_MAP_KEY; it is simply not a token."""
+    from pyspark.sql import functions as F
+
+    from entitymatch_spark.operators.embed import hash_embed
+
+    docs = spark.createDataFrame(
+        [("d1", ["a", None, "b"]), ("d2", ["a", "b"])],
+        "doc_id string, tokens array<string>",
+    )
+    got = {r["doc_id"]: r["embedding"] for r in hash_embed(docs, dim=8).collect()}
+    assert got["d1"] == got["d2"]  # the NULL contributed nothing

@@ -85,3 +85,26 @@ def test_read_csv_phrases(spark, tmp_path):
     assert rows == {"The Dark Knight", "Good, The Bad", 'He said "hi"'}
     ids = sorted(r["entity_id"] for r in ents.collect())
     assert ids == [0, 1, 2]
+
+
+def test_write_table_honors_error_and_ignore_modes(spark):
+    """errorifexists/ignore previously coerced to APPEND on table
+    targets (silent duplication); they must raise / no-op instead."""
+    import pytest
+
+    from entitymatch_spark.sources.readers import write_table
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    name = "t_mode_guard"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        write_table(df, name, mode="error")          # absent -> create
+        assert spark.table(name).count() == 1
+        with pytest.raises(ValueError, match="already exists"):
+            write_table(df, name, mode="error")
+        with pytest.raises(ValueError, match="already exists"):
+            write_table(df, name, mode="errorifexists")
+        write_table(df, name, mode="ignore")         # exists -> no-op
+        assert spark.table(name).count() == 1        # NOT duplicated
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

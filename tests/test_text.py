@@ -198,3 +198,21 @@ def test_normalize_trim_charset_three_engine_agreement(spark):
     assert spark_norm == py_norm == duck_norm
     # the NBSP case proves the pinned surface keeps Unicode whitespace
     assert py_normalize("\u00a0nbsp kept\u00a0") == "\u00a0nbsp kept\u00a0"
+
+
+def test_html_comment_section_interactions(spark):
+    """Comments are stripped BEFORE sections: a commented-out script
+    include must not trigger the unclosed-script drop-to-EOF, and the
+    legacy <script><!-- code //--></script> hiding idiom reduces to a
+    clean empty pair."""
+    from entitymatch_spark.functions.html import html_to_text
+
+    cases = [
+        ("before <!-- <script src=x> --> after", "before  after"),
+        ("<body>a<script><!-- var x=1; //--></script>b</body>", "ab"),
+        ("<!-- <head> --><body>kept</body>", "kept"),
+        ("<!-- <style> -->s<style>p{}</style>t", "st"),
+    ]
+    df = spark.createDataFrame(cases, "html string, want string")
+    for r in df.select(html_to_text("html").alias("g"), "want").collect():
+        assert r["g"] == r["want"], (r["g"], r["want"])
