@@ -66,8 +66,15 @@ def spelling_alternatives(
             F.broadcast(voc.withColumn("cand_len", F.length("alt_token"))),
             "cand_len",
         )
-        .withColumn("distance", F.levenshtein(F.col(token_col), F.col("alt_token")))
-        .filter(F.col("distance") <= max_edit)
+        # banded 3-arg levenshtein (same early-exit form as
+        # autocomplete/scoring): O(len * band) per pair instead of the
+        # full DP; returns -1 past the band, so the filter keeps the
+        # same pair set with the same distances
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col(token_col), F.col("alt_token"), max_edit),
+        )
+        .filter(F.col("distance") >= 0)
         .select(
             token_col,
             "alt_token",
@@ -91,17 +98,27 @@ def synonym_expand(
     weights multiply through the chain (ref: Alternatives.cs:56).
     Synonym tables are small → broadcast.
     """
+    if token_col == "alt_token":
+        raise ValueError(
+            "token_col='alt_token' collides with the output column; "
+            "rename the input column first (e.g. alt_token -> token)"
+        )
     t = tokens
     if "weight" not in t.columns:
         t = t.withColumn("weight", F.lit(1.0))
+    # syn's columns are ALL internally aliased: the input may itself
+    # carry alt_token/weight from an upstream expander (the advertised
+    # chain), and unqualified names would be AMBIGUOUS_REFERENCEs
     syn = synonyms.select(
-        F.col("token").alias("__k"), "alt_token", F.col("weight").alias("__w")
+        F.col("token").alias("__k"),
+        F.col("alt_token").alias("__alt"),
+        F.col("weight").alias("__w"),
     )
     mapped = (
         t.join(F.broadcast(syn), t[token_col] == F.col("__k"))
         .select(
             t[token_col],
-            F.col("alt_token"),
+            F.col("__alt").alias("alt_token"),
             (t["weight"] * F.col("__w")).alias("weight"),
         )
     )

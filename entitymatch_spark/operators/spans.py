@@ -103,7 +103,21 @@ def topk_spans(
     Deterministic: ties broken by tiebreak_cols asc. The window's
     row_number is rank-limited, so Spark applies a per-partition
     top-k sort (no global sort).
+
+    The default group ('type', 'start') is the reference's typed-span
+    shape — extend_spans' RAW output has no 'type', and a multi-query
+    frame needs 'query_id' IN the group (matcher.py passes
+    ('query_id', 'type', 'start')) or one query's high scorers evict
+    another's. Missing group columns raise here by name rather than
+    deep in the window plan.
     """
+    missing = [c for c in partition_cols if c not in spans.columns]
+    if missing:
+        raise ValueError(
+            f"partition_cols {missing} not in spans columns "
+            f"{spans.columns}; pass partition_cols= matching your "
+            "frame (multi-query frames need 'query_id' in the group)"
+        )
     order = [F.desc(order_col)] + [F.asc(c) for c in tiebreak_cols]
     w = Window.partitionBy(*partition_cols).orderBy(*order)
     return (

@@ -27,10 +27,16 @@ class ACAutomaton:
     """Plain-python Aho-Corasick: goto/fail/output (StringSearch.cs analog)."""
 
     def __init__(self, phrases: list[str]):
+        if any(not p for p in phrases):
+            # an empty phrase would "match" at every position with an
+            # out-of-range start (i + 1) — reject at build time
+            raise ValueError("empty phrases are not searchable")
         self.goto: list[dict[str, int]] = [{}]
         self.fail: list[int] = [0]
         self.out: list[list[int]] = [[]]
-        self.phrases = list(phrases)
+        # dedup, order-preserving: a phrase listed twice would emit
+        # duplicate identical hit rows and double per-phrase counts
+        self.phrases = list(dict.fromkeys(phrases))
         for pid, p in enumerate(self.phrases):
             node = 0
             for ch in p:
@@ -112,7 +118,9 @@ def multi_pattern_scan(
     first_only=True mirrors the reference FindFirst (one row per
     (doc, phrase), earliest occurrence); otherwise FindAll semantics.
     """
-    spark = SparkSession.getActiveSession()
+    # the input frame's own session — getActiveSession() is
+    # thread-local and None on executor-submitting worker threads
+    spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(list(phrases))
     cache_key = _ac_cache_key(phrases)
     fo = bool(first_only)
@@ -169,5 +177,11 @@ def contains_any(
     arr = F.array(*[F.lit(p) for p in phrases])
     return docs.select(
         F.col(id_col),
-        F.exists(arr, lambda p: F.instr(F.col(text_col), p) > 0).alias(result_col),
+        # NULL text => strictly False, like the reference's boolean
+        # ContainsAny (a bare exists yields NULL, which a ~filter on
+        # the "without any phrase" branch would silently drop)
+        F.coalesce(
+            F.exists(arr, lambda p: F.instr(F.col(text_col), p) > 0),
+            F.lit(False),
+        ).alias(result_col),
     )

@@ -30,17 +30,29 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_entitymatch_pyfile_added", False):
         return
-    # One STABLE path per user, atomically replaced — mkdtemp leaked a
-    # new directory + zip per SparkContext (never cleaned, so bouncing
-    # sessions accumulated them in /tmp indefinitely). The rename keeps
-    # a concurrent second session reading a complete zip.
+    # One STABLE per-user dir (mkdtemp leaked a new directory + zip per
+    # SparkContext); the zip is CONTENT-ADDRESSED so two concurrent
+    # sessions from different checkouts write different names instead
+    # of racing to overwrite one path (the loser's executors would
+    # import the other checkout's code), and the atomic rename keeps
+    # any reader seeing a complete archive.
     base = Path(tempfile.gettempdir()) / f"em_pyfiles_{os.getuid()}"
-    base.mkdir(parents=True, exist_ok=True)
+    base.mkdir(parents=True, exist_ok=True, mode=0o700)
+    if base.stat().st_uid != os.getuid():
+        # a pre-created dir owned by someone else could swap the zip
+        # between rename and addPyFile -> their code in our executors
+        raise RuntimeError(
+            f"{base} exists but is not owned by uid {os.getuid()}; "
+            "remove it or point tempfile.gettempdir() elsewhere"
+        )
     tmp_zip = tempfile.mktemp(suffix=".zip", dir=str(base))
     made = shutil.make_archive(
         tmp_zip[:-4], "zip", root_dir=str(_PKG_ROOT), base_dir="entitymatch_spark"
     )
-    final = base / "entitymatch_spark.zip"
+    import hashlib
+
+    digest = hashlib.md5(Path(made).read_bytes()).hexdigest()[:12]
+    final = base / f"entitymatch_spark-{digest}.zip"
     Path(made).replace(final)
     sc.addPyFile(str(final))
     sc._entitymatch_pyfile_added = True
@@ -61,7 +73,8 @@ def get_spark(
     if cpus is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
-        n = int(env) if env else (os.cpu_count() or 8)
+        # '*' is a valid master setting but not a parallelism number
+        n = int(env) if env and env.isdigit() else (os.cpu_count() or 8)
     else:
         master = f"local[{cpus}]"
         n = cpus

@@ -233,3 +233,15 @@ def test_pipeline_with_bounded_idf_still_clusters(spark):
     # on at least 90% of clusters
     inter = len(a & b)
     assert inter / max(len(a), len(b)) >= 0.9, (len(a), len(b), inter)
+
+
+def test_topk_spans_names_missing_group_columns(spark):
+    import pytest
+
+    from entitymatch_spark.operators.spans import topk_spans
+
+    spans = spark.createDataFrame(
+        [(1, 0, 0.9)], "entity_id int, start int, score double"
+    )
+    with pytest.raises(ValueError, match="'type'"):
+        topk_spans(spans, k=1)  # default group needs a typed frame

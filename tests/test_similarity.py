@@ -93,3 +93,36 @@ def test_tfidf_cosine_basics():
     # containment of a subset is 1.0 against its superset
     _, cont_sub = tfidf_cosine_and_containment(["a"], ["a", "b"], idf)
     assert cont_sub == pytest.approx(1.0)
+
+
+def test_synonym_expand_chains_after_spelling(spark):
+    """The advertised chain: expander output (with weight) feeds
+    synonym_expand without AMBIGUOUS_REFERENCE; weights multiply."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from entitymatch_spark.operators.alternatives import (
+        spelling_alternatives,
+        synonym_expand,
+    )
+
+    probes = spark.createDataFrame([("cot",)], "token string")
+    vocab = spark.createDataFrame([("cat",)], "token string")
+    syn = spark.createDataFrame(
+        [("cat", "feline", 0.8)], "token string, alt_token string, weight double"
+    )
+    spelled = spelling_alternatives(probes, vocab, max_edit=1)
+    # rename the expansion to the next stage's token column (the
+    # collision is rejected loudly rather than mis-resolving)
+    with pytest.raises(ValueError, match="collides"):
+        synonym_expand(spelled, syn, token_col="alt_token")
+    stage2 = spelled.select(
+        F.col("alt_token").alias("token"), "weight"
+    )
+    out = {
+        (r["token"], r["alt_token"]): r["weight"]
+        for r in synonym_expand(stage2, syn).collect()
+    }
+    # spelled weight 1/(1+1) = 0.5; synonym 0.8 -> 0.4; identity keeps 0.5
+    assert out[("cat", "cat")] == 0.5
+    assert out[("cat", "feline")] == 0.5 * 0.8

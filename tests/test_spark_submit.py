@@ -114,3 +114,15 @@ def test_cli_state_lifecycle(spark, tmp_path):
         cli.run(p.parse_args(
             ["--mode", "grow", "--input", d["batch"], "--output", d["o2"],
              "--state-dir", d["s1"], "--state-out", d["s1"]]), spark)
+
+
+def test_get_spark_accepts_star_cpus_env(spark, monkeypatch):
+    """SPARK_GRAFT_CPUS='*' is a valid master setting; the parallelism
+    fallback must not int('*') it into a crash."""
+    import os
+
+    from entitymatch_spark.session import get_spark
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "*")
+    s = get_spark("star-env")  # reuses the active session
+    assert s is not None

@@ -64,3 +64,33 @@ def test_ac_cache_key_unambiguous_and_bounded():
     assert _ac_cache_key(["ab"]) != _ac_cache_key(["a", "b"])
     assert _ac_cache_key(["a", "b"]) == _ac_cache_key(["a", "b"])
     assert _AC_CACHE_MAX >= 2
+
+
+def test_contains_any_null_text_is_false(spark):
+    from entitymatch_spark.operators.textsearch import contains_any
+
+    docs = spark.createDataFrame(
+        [(1, "has table scan"), (2, "nothing"), (3, None)],
+        "doc_id long, norm_text string",
+    )
+    got = {
+        r["doc_id"]: r["has_any"]
+        for r in contains_any(docs, ["table"]).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}  # strictly boolean
+
+
+def test_automaton_rejects_empty_and_dedups(spark):
+    import pytest
+
+    from entitymatch_spark.operators.textsearch import (
+        ACAutomaton,
+        multi_pattern_scan,
+    )
+
+    with pytest.raises(ValueError, match="empty"):
+        ACAutomaton(["ab", ""])
+    docs = spark.createDataFrame([(1, "zabab")], "doc_id long, norm_text string")
+    rows = multi_pattern_scan(docs, ["ab", "ab"]).collect()
+    # duplicate dictionary entries emit each occurrence ONCE
+    assert sorted(r["start"] for r in rows) == [1, 3]
