@@ -95,6 +95,9 @@ def jaro(a: str, b: str) -> float:
     """
     if len(a) == 0 or len(b) == 0:
         return 0.0  # incl. both-empty — matches DuckDB jaro_similarity
+    if a == b:
+        return 1.0  # before the profile build, not after — the exact-
+        # duplicate case must not pay the O(len) occurrence dict
     return jaro_with_profile(a, b, jaro_profile(b))
 
 

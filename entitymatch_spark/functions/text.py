@@ -48,7 +48,11 @@ ASCII_WS = " \t\n\r\f\x0b"
 # Edge-anchored charset trim as ONE global regexp (Spark's two-arg
 # trim() signature is deprecated in 4.x; this stays codegen'd and is
 # byte-equivalent for any charset without regex metacharacters).
-_TRIM_RE = f"^[{ASCII_WS}]+|[{ASCII_WS}]+$"
+# \z, NOT $: Java's $ also matches BEFORE a final Unicode line
+# terminator (U+0085/U+2028/U+2029), so 'ab \x85' would lose its
+# space on the engine while py_normalize and the DuckDB charset trim
+# keep it — \z anchors at true end-of-input on all inputs.
+_TRIM_RE = f"^[{ASCII_WS}]+|[{ASCII_WS}]+\\z"
 
 _PY_PAREN_RE = re.compile(r"\([^)]*\)")
 _PY_TOKEN_RE = re.compile(r"\w+", re.ASCII)
@@ -106,8 +110,11 @@ def tokenize_with_offsets(col: Column | str) -> Column:
         def _batch(texts: pd.Series) -> pd.Series:
             def one(s: str | None):
                 if s is None:
-                    return []
-                norm = _PY_PAREN_RE.sub("", s.strip(ASCII_WS).lower())
+                    return None  # NULL in, NULL out — same as tokenize()
+                # THE normalizer, not an inline copy: offsets must be
+                # computed against the same bytes the rest of the
+                # pipeline tokenizes
+                norm = py_normalize(s)
                 return [
                     {"token": m.group(0), "start": m.start(), "length": m.end() - m.start()}
                     for m in _PY_TOKEN_RE.finditer(norm)

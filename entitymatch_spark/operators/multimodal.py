@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_FEATURE_SCHEMA = (
     "doc_id string, media_type string, n_bytes long, content_md5 string, "
@@ -158,6 +159,13 @@ def resize_media(
     records it — swapping in a real `Image.resize` changes only the
     inside of the batch function, not the plumbing, schema, or plan.
     """
+    if out_w < 1 or out_h < 1:
+        # fail at the driver with a named error: in the worker a zero
+        # dimension silently truncated the stub payload to b'' (and a
+        # real Image.resize error would vanish into the except path)
+        raise ValueError(
+            f"out_w/out_h must be >= 1, got ({out_w}, {out_h})"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -205,6 +213,8 @@ def sample_frames(
     max_frames: int = 8,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    media_type_col: str | None = None,
+    video_type: str = "video",
 ) -> DataFrame:
     """mapInPandas frame sampling for video payloads: one output row per
     sampled frame (doc_id, frame_idx, frame_ts_ms, frame). A row-
@@ -224,6 +234,12 @@ def sample_frames(
         # was an opaque ZeroDivisionError from '% max_frames' at action
         # time
         raise ValueError(f"max_frames must be >= 1, got {max_frames}")
+    if media_type_col is not None:
+        # mixed-media frames: only video rows have frames to sample —
+        # without the filter every image/audio row grew 1-8 phantom
+        # 'frames' (the sibling operators branch on media_type; this
+        # one samples everything it is given, so scope its input)
+        df = df.filter(F.col(media_type_col) == video_type)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

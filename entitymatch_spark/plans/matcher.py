@@ -80,6 +80,10 @@ def interpret(
         # contain the identity to keep it, exactly as the reference's
         # own example does: mouse -> {mouse 1.0, mice 0.9},
         # TestMatcher/Program.cs:279).
+        # NOTE: alternatives.synonym_expand is the KEEP-IDENTITY
+        # sibling of this replace-if-mapped block; the aliasing/
+        # broadcast shape is deliberately the same — if a fix lands in
+        # one (NULL keys, weight dedup), mirror it in the other.
         syn = synonyms.select(
             F.col("token").alias("__k"),
             F.col("alt_token").alias("__syn"),

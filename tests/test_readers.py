@@ -108,3 +108,21 @@ def test_write_table_honors_error_and_ignore_modes(spark):
         assert spark.table(name).count() == 1        # NOT duplicated
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_multimodal_guards_and_video_scoping(spark):
+    import pytest
+
+    from entitymatch_spark.operators.multimodal import resize_media, sample_frames
+
+    media = spark.createDataFrame(
+        [("v1", b"\x01\x02", "video"), ("i1", b"\x03", "image")],
+        "doc_id string, payload binary, media_type string",
+    )
+    with pytest.raises(ValueError, match="out_w/out_h"):
+        resize_media(media, out_h=0)
+    # media_type scoping: image rows grow no phantom frames
+    frames = sample_frames(media, media_type_col="media_type").collect()
+    assert {r["doc_id"] for r in frames} == {"v1"}
+    # default (no type column named) keeps the old sample-everything shape
+    assert {r["doc_id"] for r in sample_frames(media).collect()} == {"v1", "i1"}

@@ -216,3 +216,35 @@ def test_html_comment_section_interactions(spark):
     df = spark.createDataFrame(cases, "html string, want string")
     for r in df.select(html_to_text("html").alias("g"), "want").collect():
         assert r["g"] == r["want"], (r["g"], r["want"])
+
+
+def test_trim_anchors_at_true_end_of_input(spark):
+    """Java's $ matches BEFORE a final Unicode line terminator
+    (U+0085/U+2028/U+2029); the engine trim must anchor at \\z so
+    'ab \\x85' keeps its space on all three engines."""
+    from entitymatch_spark.functions.text import normalize_text, py_normalize
+
+    cases = ["ab \x85", "ab\t ", "ab \r\x85", "ab  ", "ab  "]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r["n"] for r in df.select(normalize_text("text").alias("n")).collect()]
+    want = [py_normalize(c) for c in cases]
+    assert got == want, list(zip(got, want))
+
+
+def test_tokenize_offsets_null_matches_tokenize(spark):
+    """Both tokenizers agree on NULL documents: NULL in, NULL out."""
+    from pyspark.sql import functions as F
+
+    from entitymatch_spark.functions.text import tokenize, tokenize_with_offsets
+
+    df = spark.createDataFrame([(1, None), (2, "a b")], "id long, text string")
+    rows = {
+        r["id"]: (r["t"], r["o"])
+        for r in df.select(
+            "id",
+            tokenize("text").alias("t"),
+            tokenize_with_offsets("text").alias("o"),
+        ).collect()
+    }
+    assert rows[1] == (None, None)
+    assert [x["token"] for x in rows[2][1]] == rows[2][0] == ["a", "b"]
