@@ -73,6 +73,10 @@ SCALE_PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
 # stage already repeats): 2 passes halve the exposure to shared-box
 # weather at ~10s extra untimed wall
 BLOCK_REPEATS = int(os.environ.get("SPARK_GRAFT_BLOCK_REPEATS", "2"))
+# best-of-N for the FULL leg's scoring stage — its own knob: reusing
+# SCALE_REPEATS here silently changed the e2e headline whenever a user
+# shortened the scale leg, making records incomparable
+FULL_SCORE_REPEATS = int(os.environ.get("SPARK_GRAFT_FULL_SCORE_REPEATS", "9"))
 
 BENCH_QUERIES = [
     "build_posting",
@@ -102,10 +106,16 @@ BENCH_QUERIES = [
 
 
 def _sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name
     try:
-        return float(Path(sf_dir).name.replace("sf", ""))
+        return float(name.removeprefix("sf"))
     except ValueError:
-        return 0.1
+        # a silent 0.1 fallback mis-sized the synthetic corpus AND
+        # mislabeled the output record — refuse loudly instead
+        raise ValueError(
+            f"cannot parse scale factor from {name!r} (expected 'sf<float>',"
+            " e.g. sf0.1); set SPARK_GRAFT_SF_DIR to a standard testdata dir"
+        ) from None
 
 
 def _warmup(spark, cpus):
@@ -169,14 +179,14 @@ def _scale_legs(spark, n_clusters: int) -> dict:
     best-of-R per leg, so both levels sample the same few minutes of
     this shared box.
     """
-    from entitymatch_spark.operators.blocking import (
-        candidate_pairs, lsh_band_keys, minhash_signature, token_blocking_keys_from_docs,
-    )
+    from entitymatch_spark.operators.blocking import candidate_pairs
     from entitymatch_spark.operators.posting import (
         build_posting, collect_idf_map, token_idf,
     )
     from entitymatch_spark.operators.scoring import score_pairs
-    from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
+    from entitymatch_spark.plans.pipeline import (
+        MatchConfig, blocking_keys, prepare_docs,
+    )
     from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
 
     cfg = MatchConfig()
@@ -186,13 +196,13 @@ def _scale_legs(spark, n_clusters: int) -> dict:
     n_docs = docs.count()
     posting = build_posting(docs, id_col="doc_id")
     idf = token_idf(posting, n_docs=n_docs)
-    keys = token_blocking_keys_from_docs(docs, idf, min_idf=cfg.min_idf).unionByName(
-        lsh_band_keys(
-            minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
-            bands=cfg.bands, rows_per_band=cfg.rows_per_band,
-        )
-    )  # no persist: candidate_pairs consumes the key table once
-    pairs = candidate_pairs(keys, max_block=cfg.max_block)
+    # THE pipeline's key construction (shared helper) — the timed legs
+    # measure exactly what match_pipeline runs, hash variants included
+    keys = blocking_keys(docs, idf, cfg)
+    # persist the pair table ONCE: each leg's repartition (and the
+    # count below) would otherwise re-run the whole blocking chain
+    pairs = candidate_pairs(keys, max_block=cfg.max_block).persist()
+    n_pairs = pairs.count()
     idf_map = collect_idf_map(idf)
 
     legs = {}
@@ -209,17 +219,27 @@ def _scale_legs(spark, n_clusters: int) -> dict:
             pairs.repartition(p).sortWithinPartitions("id_a", "id_b").persist()
         )
         legs[p].count()
-    n_pairs = legs[SCALE_N].count()
+    pairs.unpersist()
     # Methodology guard: "parallelism = partition count of the pair
     # table" only holds while the docs-side joins in score_pairs are
     # BROADCAST (a shuffle join would re-partition both legs to
     # spark.sql.shuffle.partitions and the N vs 4N ratio would no
-    # longer measure capacity). Assert it on the actual plan.
-    probe = score_pairs(legs[SCALE_N], docs, idf_map, weights=cfg.weights)
+    # longer measure capacity). Check the plan that actually RUNS:
+    # under AQE the pre-execution executedPlan() string is the INITIAL
+    # static plan (isFinalPlan=false) — a static SortMergeJoin that
+    # AQE would convert at runtime must not abort a valid run, so
+    # execute the 4N probe once (untimed; doubles as a score-path
+    # warmup) and assert the finalized plan. An explicit raise, not a
+    # bare assert: the precondition of the headline number must
+    # survive python -O.
+    probe = score_pairs(legs[SCALE_4N], docs, idf_map, weights=cfg.weights)
+    probe.write.format("noop").mode("overwrite").save()
     plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, (
-        "scaling legs require broadcast doc-side joins; plan was:\n" + plan[:2000]
-    )
+    if "BroadcastHashJoin" not in plan or "SortMergeJoin" in plan:
+        raise AssertionError(
+            "scaling legs require broadcast doc-side joins; final plan "
+            "was:\n" + plan[:2000]
+        )
     # Arrow batch granularity for the scale legs: the SESSION DEFAULT
     # (40k), same config both legs, same config as the production
     # pipeline. A 2k-batch variant was trialled on the theory that the
@@ -318,13 +338,11 @@ def _scale_legs(spark, n_clusters: int) -> dict:
     }
 
 
-def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
+def _pipeline_stages(spark, cpus: int, n_clusters: int, pages=None) -> dict:
     """Staged pipeline run with per-stage timings; returns metrics."""
     from pyspark.sql import functions as F
 
-    from entitymatch_spark.operators.blocking import (
-        candidate_pairs, lsh_band_keys, minhash_signature, token_blocking_keys_from_docs,
-    )
+    from entitymatch_spark.operators.blocking import candidate_pairs
     from entitymatch_spark.operators.clustering import (
         assign_clusters, connected_components,
     )
@@ -332,12 +350,16 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
         build_posting, collect_idf_map, token_idf,
     )
     from entitymatch_spark.operators.scoring import score_pairs
-    from entitymatch_spark.plans.pipeline import MatchConfig, prepare_docs
+    from entitymatch_spark.plans.pipeline import (
+        MatchConfig, blocking_keys, prepare_docs,
+    )
     from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
 
     cfg = MatchConfig()
-    fx = generate_corpus(n_clusters=n_clusters, seed=42)
-    pages = corpus_to_spark(spark, fx)["pages"]
+    if pages is None:
+        pages = corpus_to_spark(
+            spark, generate_corpus(n_clusters=n_clusters, seed=42)
+        )["pages"]
 
     # Block and cluster run once per pipeline, so a single timing pass
     # is fully exposed to shared-box weather (observed 6.7s vs 22.0s on
@@ -361,12 +383,9 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
         docs = prepare_docs(pages, cfg).persist()
         n_docs = docs.count()
         idf = token_idf(build_posting(docs, id_col="doc_id"), n_docs=n_docs)
-        keys = token_blocking_keys_from_docs(docs, idf, min_idf=cfg.min_idf).unionByName(
-            lsh_band_keys(
-                minhash_signature(docs, num_hashes=cfg.num_hashes, seed=cfg.seed),
-                bands=cfg.bands, rows_per_band=cfg.rows_per_band,
-            )
-        )  # no persist: candidate_pairs consumes the key table once
+        # shared pipeline key construction; no persist — candidate_pairs
+        # consumes the key table once
+        keys = blocking_keys(docs, idf, cfg)
         # hash-by-id_a + local sort = per-batch doc-profile locality in
         # the Arrow scorer (~2x at 10x scale; see plans/pipeline.py)
         pairs = (
@@ -384,7 +403,7 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
     # Timing passes sink to noop; a final untimed pass persists for
     # clustering.
     times = []
-    for _ in range(max(1, SCALE_REPEATS)):
+    for _ in range(max(1, FULL_SCORE_REPEATS)):
         t1 = time.perf_counter()
         score_pairs(pairs, docs, idf_map, weights=cfg.weights).write.format(
             "noop"
@@ -417,7 +436,7 @@ def _pipeline_stages(spark, cpus: int, n_clusters: int) -> dict:
     }
 
 
-def _incremental_stage(spark, n_clusters: int) -> dict:
+def _incremental_stage(spark, n_clusters: int, pages=None) -> dict:
     """Batch-incremental growth cost: time matching a ~10% batch into a
     standing corpus (plans/incremental.py) — the operation a daily
     crawl pays — against the full-recompute e2e number reported
@@ -437,8 +456,10 @@ def _incremental_stage(spark, n_clusters: int) -> dict:
     from entitymatch_spark.sources.synthetic import corpus_to_spark, generate_corpus
 
     cfg = MatchConfig()
-    fx = generate_corpus(n_clusters=n_clusters, seed=42)
-    pages = corpus_to_spark(spark, fx)["pages"]
+    if pages is None:
+        pages = corpus_to_spark(
+            spark, generate_corpus(n_clusters=n_clusters, seed=42)
+        )["pages"]
     # The batch holds out ~10% of ENTITIES (whole ground-truth
     # clusters): the dominant growth regime for a crawl is new content
     # arriving, which touches only the blocks its own tokens/bands
@@ -541,9 +562,16 @@ def child_main(cpus: int, mode: str, out_path: str) -> None:
         result.update(_scale_legs(spark, SCALE_CLUSTERS))
     else:  # full
         sf = _sf_from_dir(SF_DIR)
-        result.update(
-            _pipeline_stages(spark, cpus, max(50, int(30000 * sf)))
+        ncl = max(50, int(30000 * sf))
+        # ONE deterministic corpus for both stages (the incremental
+        # stage previously regenerated the identical fixture)
+        from entitymatch_spark.sources.synthetic import (
+            corpus_to_spark, generate_corpus,
         )
+        bench_pages = corpus_to_spark(
+            spark, generate_corpus(n_clusters=ncl, seed=42)
+        )["pages"]
+        result.update(_pipeline_stages(spark, cpus, ncl, pages=bench_pages))
         import __spark_entry__ as entry_mod
 
         qs = entry_mod.queries()
@@ -558,7 +586,7 @@ def child_main(cpus: int, mode: str, out_path: str) -> None:
         timings["pipeline_block_stage"] = result["block_sec"]
         timings["pipeline_score_stage"] = result["score_sec"]
         timings["pipeline_cluster_stage"] = result["cluster_sec"]
-        incr = _incremental_stage(spark, max(50, int(30000 * sf)))
+        incr = _incremental_stage(spark, ncl, pages=bench_pages)
         result.update(incr)
         timings["incremental_10pct_batch"] = incr["incr_batch_sec"]
         timings["rethreshold_recalibrate"] = incr["rethreshold_sec"]

@@ -150,6 +150,30 @@ def prepare_docs(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
     )
 
 
+def blocking_keys(docs: DataFrame, idf: DataFrame, cfg: MatchConfig) -> DataFrame:
+    """(doc_id, key, family): the pipeline's blocking-key table —
+    rare-token keys (narrow per-doc array_distinct + broadcast IDF
+    join, no global distinct shuffle) unioned with MinHash-LSH band
+    keys when ``cfg.use_lsh``. THE one construction: the bench's timed
+    chains call this too, so what the bench measures cannot drift from
+    what the pipeline runs (hash variants, band geometry, use_lsh gate).
+    """
+    keys = token_blocking_keys_from_docs(docs, idf, min_idf=cfg.min_idf)
+    if cfg.use_lsh:
+        sigs = minhash_signature(
+            docs, id_col="doc_id", tokens_col="tokens",
+            num_hashes=cfg.num_hashes, seed=cfg.seed,
+            token_hash=cfg.minhash_token_hash,
+        )
+        keys = keys.unionByName(
+            lsh_band_keys(
+                sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+                band_hash=cfg.lsh_band_hash, sig_len=cfg.num_hashes,
+            )
+        )
+    return keys
+
+
 def match_pipeline(
     pages: DataFrame, cfg: MatchConfig | None = None, idf: DataFrame | None = None
 ) -> MatchResult:
@@ -167,21 +191,7 @@ def match_pipeline(
     if idf is None:
         idf = token_idf(posting, n_docs=n_docs)
 
-    # narrow form: per-doc array_distinct + broadcast rare-token join,
-    # no global distinct shuffle (token_blocking_keys_from_docs docstring)
-    keys = token_blocking_keys_from_docs(docs, idf, min_idf=cfg.min_idf)
-    if cfg.use_lsh:
-        sigs = minhash_signature(
-            docs, id_col="doc_id", tokens_col="tokens",
-            num_hashes=cfg.num_hashes, seed=cfg.seed,
-            token_hash=cfg.minhash_token_hash,
-        )
-        keys = keys.unionByName(
-            lsh_band_keys(
-                sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band,
-                band_hash=cfg.lsh_band_hash, sig_len=cfg.num_hashes,
-            )
-        )
+    keys = blocking_keys(docs, idf, cfg)
 
     # No keys persist: candidate_pairs is single-pass (one groupBy over
     # the key table), so there is no multi-reference recompute to avoid
