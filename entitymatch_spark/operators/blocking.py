@@ -266,10 +266,10 @@ def lsh_band_keys(
     )
 
 
-def prune_oversized_blocks(
-    keys: DataFrame, max_block: int, id_col: str = "doc_id"
-) -> DataFrame:
+def prune_oversized_blocks(keys: DataFrame, max_block: int) -> DataFrame:
     """Drop keys whose block exceeds ``max_block`` (block purging).
+    (No id_col parameter: the purge decision touches only ``key`` —
+    an id-named knob here would imply per-id behavior it doesn't have.)
 
     Bounded blocks make per-block pair output <= cap^2/2 and leave no
     skewed shuffle key behind. candidate_pairs folds this purge into
@@ -353,13 +353,33 @@ def candidate_pairs(
     oversize_policy:
       - "purge": drop blocks over ``max_block`` (an over-shared key has
         no discriminative power — the blocking analog of the IDF floor).
-      - "salt": keep them, split into hash-salted sub-blocks
-        (bounded cost, sampled recall on hot keys — see
+        CAVEAT: the purge is applied AFTER the collect, so the reduce
+        buffer for one pathological key is the block's PRE-purge size.
+        Fine when upstream already bounds key frequency (the IDF floor,
+        LSH bands over non-degenerate signatures); at true web scale
+        with adversarial boilerplate use "prepurge".
+      - "prepurge": same OUTPUT as "purge" (parity-tested), but the
+        oversized keys are identified by a count-first aggregate and
+        removed with a broadcast anti-join BEFORE the collect, so every
+        aggregation buffer is bounded by ``max_block``. Costs a second
+        pass over the key table (persist the keys or accept the
+        upstream recompute) — the safety/one-pass dial at 10^12 docs.
+      - "salt": keep oversized blocks, split into hash-salted
+        sub-blocks (bounded cost, sampled recall on hot keys — see
         salt_oversized_blocks; sub-block sizes are ~max_block in
         expectation, so the collected arrays stay bounded too).
     """
     if oversize_policy == "salt":
         keys = salt_oversized_blocks(keys, max_block, id_col)
+    elif oversize_policy == "prepurge":
+        oversized = (
+            keys.groupBy("key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_block)
+            .select("key")
+        )
+        # hot keys are FEW (that is why they're purged) -> broadcast
+        keys = keys.join(F.broadcast(oversized), "key", "left_anti")
     elif oversize_policy != "purge":
         raise ValueError(f"unknown oversize_policy: {oversize_policy!r}")
     if n_partitions:
@@ -382,7 +402,9 @@ def candidate_pairs(
     # toward the purge threshold and the n_keys signal exactly as the
     # row-level join form did.
     blocks = keys.groupBy("key").agg(F.collect_list(member).alias("ids"))
-    if oversize_policy == "purge":
+    if oversize_policy in ("purge", "prepurge"):
+        # prepurge already bounded the buffers; the filter is then a
+        # no-op kept for belt-and-braces output parity with purge
         blocks = blocks.filter(F.size("ids") <= max_block)
     # blocks of one produce no pairs; skip their expansion entirely
     blocks = blocks.filter(F.size("ids") >= 2)

@@ -59,11 +59,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from entitymatch_spark.operators.blocking import (
-    lsh_band_keys,
-    minhash_signature,
-    token_blocking_keys_from_docs,
-)
 from entitymatch_spark.operators.clustering import assign_clusters, connected_components
 from entitymatch_spark.operators.posting import (
     collect_idf_map,
@@ -110,6 +105,15 @@ class MatchState:
     # NOT persisted by save_state (the model is the caller's versioned
     # artifact); re-attach after load_state with dataclasses.replace.
     match_model: object | None = None
+    # Set by load_state: where this state was read from. save_state
+    # refuses that same target — overwrite mode truncates each table
+    # before the plan that still reads it executes (state destroyed).
+    source_path: str | None = None
+    # False once an in-memory mutation (remove_docs, rethreshold)
+    # diverges this state from its stored tables: commit_increment's
+    # append-only delta commit would silently skip that mutation, so
+    # it refuses and directs to save_state on a fresh target.
+    storage_synced: bool = True
 
 
 def _match_edges(state: "MatchState", scored: DataFrame) -> DataFrame:
@@ -138,6 +142,18 @@ class IncrementalResult:
     # deltas are then not append-only and commit_increment() refuses
     append_only: bool = True
 
+    def unpersist(self) -> None:
+        """Drop this result's cached frames (``new_docs``, ``pairs`` —
+        persisted when cfg.cache). A long-lived driver looping
+        incremental_match over many batches should call this after
+        committing each batch, or dead cached partitions accumulate in
+        executor storage for the session's lifetime."""
+        for df in (self.new_docs, self.pairs):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
 
 def initial_state(
     pages: DataFrame, cfg: MatchConfig | None = None, idf: DataFrame | None = None
@@ -159,21 +175,13 @@ def initial_state(
 
 
 def _batch_keys(new_docs: DataFrame, state: MatchState) -> DataFrame:
-    cfg = state.cfg
-    keys = token_blocking_keys_from_docs(new_docs, state.idf, min_idf=cfg.min_idf)
-    if cfg.use_lsh:
-        sigs = minhash_signature(
-            new_docs, id_col="doc_id", tokens_col="tokens",
-            num_hashes=cfg.num_hashes, seed=cfg.seed,
-            token_hash=cfg.minhash_token_hash,
-        )
-        keys = keys.unionByName(
-            lsh_band_keys(
-                sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band,
-                band_hash=cfg.lsh_band_hash, sig_len=cfg.num_hashes,
-            )
-        )
-    return keys
+    # THE pipeline key construction (plans.pipeline.blocking_keys) —
+    # the incremental == full-recompute exactness contract REQUIRES
+    # batch keys built exactly like full-run keys, so this must not be
+    # a hand copy that can drift
+    from entitymatch_spark.plans.pipeline import blocking_keys
+
+    return blocking_keys(new_docs, state.idf, state.cfg)
 
 
 def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalResult:
@@ -195,6 +203,18 @@ def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalRes
     sub = old_in_blocks.withColumn("is_new", F.lit(False)).unionByName(
         new_keys.withColumn("is_new", F.lit(True))
     )
+    if cfg.oversize_policy == "prepurge":
+        # bound the collect buffers below BEFORE grouping (same dial as
+        # candidate_pairs): count-first at UNION size, broadcast the
+        # few oversized keys, anti-join them away — identical output to
+        # the post-collect purge filter, bounded reduce memory
+        oversized = (
+            sub.groupBy("key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > cfg.max_block)
+            .select("key")
+        )
+        sub = sub.join(F.broadcast(oversized), "key", "left_anti")
     # Asymmetric single-pass block expansion: each block's members are
     # collected into separate old/new lists and only new x old plus
     # new x new pairs are generated — a block of k old + b new members
@@ -293,6 +313,8 @@ def incremental_match(state: MatchState, new_pages: DataFrame) -> IncrementalRes
             state.scored.unionByName(scored) if state.scored is not None else None
         ),
         match_model=state.match_model,
+        source_path=state.source_path,
+        storage_synced=state.storage_synced,
     )
     return IncrementalResult(
         state=new_state, new_docs=new_docs, new_keys=new_keys, pairs=pairs,
@@ -409,6 +431,26 @@ def save_state(state: MatchState, path: str, *, key_buckets: int | None = None) 
             "key_buckets= needs a catalog-name path (bucket metadata "
             f"lives in the metastore); got {path!r}"
         )
+    if state.source_path is not None and str(path) == str(state.source_path):
+        raise ValueError(
+            f"save_state cannot overwrite the state's own source "
+            f"({path!r}): overwrite truncates each table before the plan "
+            "that still reads it executes, destroying the state mid-save. "
+            "Write to a fresh target and swap."
+        )
+    # persist the CONFIG with the tables: a state built under
+    # non-default blocking parameters reloaded with MatchConfig()
+    # silently computes batch keys in the wrong key space (missed
+    # old-new matches, no error). One row of JSON, via the same
+    # write_table path so catalog targets work too.
+    import json as _json
+    from dataclasses import asdict
+
+    spark = state.docs.sparkSession
+    cfg_df = spark.createDataFrame(
+        [(_json.dumps(asdict(state.cfg)),)], "cfg_json string"
+    )
+    write_table(cfg_df, _state_target(path, "cfg"))
     for part in _PARTS:
         kw = (
             {"buckets": key_buckets, "bucket_by": "key"}
@@ -443,14 +485,35 @@ def load_state(
     from entitymatch_spark.sources.readers import is_table_name, read_pages
 
     dfs = {part: read_pages(spark, _state_target(path, part)) for part in _PARTS}
-    scored_t = _state_target(path, "scored")
-    has_scored = (
-        spark.catalog.tableExists(scored_t)
-        if is_table_name(path)
-        else _fs_path_exists(spark, f"{path}/scored")
+
+    def _part_exists(part: str) -> bool:
+        t = _state_target(path, part)
+        return (
+            spark.catalog.tableExists(t)
+            if is_table_name(path)
+            else _fs_path_exists(spark, f"{path}/{part}")
+        )
+
+    scored = (
+        read_pages(spark, _state_target(path, "scored"))
+        if _part_exists("scored")
+        else None
     )
-    scored = read_pages(spark, scored_t) if has_scored else None
-    return MatchState(cfg=cfg or MatchConfig(), scored=scored, **dfs)
+    if cfg is None and _part_exists("cfg"):
+        # the saved config travels with the state (save_state writes
+        # it); an explicit cfg argument still wins. Unknown keys from a
+        # newer writer are dropped rather than crashing the load.
+        import json as _json
+        from dataclasses import fields as _dc_fields
+
+        raw = _json.loads(
+            read_pages(spark, _state_target(path, "cfg")).collect()[0]["cfg_json"]
+        )
+        known = {f.name for f in _dc_fields(MatchConfig)}
+        cfg = MatchConfig(**{k: v for k, v in raw.items() if k in known})
+    return MatchState(
+        cfg=cfg or MatchConfig(), scored=scored, source_path=str(path), **dfs
+    )
 
 
 def commit_increment(result: IncrementalResult, path: str) -> None:
@@ -468,6 +531,13 @@ def commit_increment(result: IncrementalResult, path: str) -> None:
     - ``clusters``: the one table with in-place mutations. On a catalog
       with row-level deletes (Iceberg), DELETE the affected clusters'
       rows and APPEND their recomputed rows — O(affected clusters).
+      CAVEAT: the DELETE and APPEND are two separate commits, not one
+      transaction — a driver failure between them leaves the affected
+      clusters' rows missing until the batch is recommitted from a
+      re-derived result. A deployment wanting single-commit semantics
+      should replace the pair with one Iceberg ``MERGE INTO`` (row-level
+      upsert in one snapshot); this module keeps the two-verb form
+      because the sandbox catalog has no MERGE support to test against.
       The session catalog and parquet dirs have no row-level ops, so
       they fall back to one full overwrite of the clusters table from
       a materialized plan — still O(corpus), but clusters is the
@@ -496,6 +566,13 @@ def commit_increment(result: IncrementalResult, path: str) -> None:
         raise ValueError(
             "result retired stored rows (upsert_pages); commit_increment "
             "is append-only — use save_state to a fresh target"
+        )
+    if not result.state.storage_synced:
+        raise ValueError(
+            "the result's base state diverged from storage (remove_docs "
+            "or rethreshold mutated it in memory after load): an "
+            "append-only delta commit would silently skip that mutation "
+            "— save_state the full state to a fresh target instead"
         )
     new_docs = result.new_docs.localCheckpoint(eager=True)
     new_keys = result.new_keys.localCheckpoint(eager=True)
@@ -631,6 +708,8 @@ def rethreshold(
         docs=state.docs, keys=state.keys, idf=state.idf,
         clusters=clusters, cfg=cfg, scored=scored,
         match_model=model,
+        source_path=state.source_path,
+        storage_synced=False,  # stored clusters no longer match
     )
 
 
@@ -710,6 +789,8 @@ def remove_docs(state: MatchState, doc_ids: DataFrame) -> MatchState:
         docs=docs, keys=keys, idf=state.idf,
         clusters=unchanged.unionByName(changed), cfg=cfg, scored=scored,
         match_model=state.match_model,
+        source_path=state.source_path,
+        storage_synced=False,  # stored rows were retired in memory only
     )
 
 
@@ -724,7 +805,35 @@ def upsert_pages(state: MatchState, pages: DataFrame) -> IncrementalResult:
     """
     from dataclasses import replace
 
-    ids = pages.select(F.col(state.cfg.id_col).alias("doc_id"))
+    idc = state.cfg.id_col
+    # dedup WITHIN the batch first: a nightly crawl can carry the same
+    # url twice — unfiltered, both copies match in as new docs and the
+    # state gains duplicate doc_id rows every later batch compounds.
+    # Newest warc_ts wins (the exact "supersedes" promise), ties broken
+    # by text hash for determinism; without a warc_ts column duplicate
+    # ids are ambiguous, so refuse loudly.
+    if "warc_ts" in pages.columns:
+        from pyspark.sql import Window
+
+        order = [F.desc("warc_ts")]
+        if state.cfg.text_col in pages.columns:
+            order.append(F.desc(F.md5(F.col(state.cfg.text_col))))
+        w = Window.partitionBy(idc).orderBy(*order)
+        pages = (
+            pages.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    elif (
+        pages.groupBy(idc).count().filter(F.col("count") > 1).limit(1).count()
+        > 0
+    ):
+        raise ValueError(
+            f"batch contains duplicate {idc!r} values and no warc_ts "
+            "column to pick the newest — dedup the batch first"
+        )
+
+    ids = pages.select(F.col(idc).alias("doc_id"))
     present = state.docs.join(ids, "doc_id", "semi").select("doc_id")
     res = incremental_match(remove_docs(state, present), pages)
     # the remove leg retired stored rows: this result's deltas are not

@@ -96,6 +96,13 @@ class MatchConfig:
     input_partitions: int | str | None = "auto"
     seed: int = 42
     cache: bool = True  # persist docs + pairs (reused by several stages)
+    # block-cap enforcement: "purge" (single-pass; reduce buffer = the
+    # hot key's PRE-purge size) or "prepurge" (count-first + broadcast
+    # anti-join — every buffer bounded by max_block; one extra pass
+    # over the key table). Same output, parity-tested. Flip to
+    # "prepurge" for adversarially skewed corpora (boilerplate LSH
+    # bands at 10^12 docs); "salt" trades recall instead of dropping.
+    oversize_policy: str = "purge"
     id_col: str = "url"
     text_col: str = "text"
 
@@ -196,7 +203,9 @@ def match_pipeline(
     # No keys persist: candidate_pairs is single-pass (one groupBy over
     # the key table), so there is no multi-reference recompute to avoid
     # and nothing to leak from the cache.
-    pairs = candidate_pairs(keys, max_block=cfg.max_block)
+    pairs = candidate_pairs(
+        keys, max_block=cfg.max_block, oversize_policy=cfg.oversize_policy
+    )
     if cfg.score_partitions is not None:
         n_part = (
             4 * pages.sparkSession.sparkContext.defaultParallelism

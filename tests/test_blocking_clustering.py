@@ -310,3 +310,26 @@ def test_salted_oversized_blocks(spark):
     # deterministic across partitionings
     salted2 = candidate_pairs(keys.repartition(13), max_block=50, oversize_policy="salt")
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in salted2.collect()}
+
+
+def test_prepurge_parity_and_bounded_plan(spark):
+    """prepurge must emit exactly purge's pairs (it only moves the cap
+    enforcement BEFORE the collect) and must do it via a broadcast
+    anti-join of the oversized-key set."""
+    from pyspark.sql import functions as F
+
+    from entitymatch_spark.operators.blocking import candidate_pairs
+
+    # one hot key (6 members, over the cap of 4) + normal blocks +
+    # duplicate (key, id) rows which must count toward the threshold
+    rows = (
+        [("hot", i) for i in range(6)]
+        + [("a", 1), ("a", 2), ("a", 3)]
+        + [("b", 7), ("b", 8), ("b", 8)]
+    )
+    keys = spark.createDataFrame(rows, "key string, doc_id long")
+    purge = candidate_pairs(keys, max_block=4, oversize_policy="purge")
+    pre = candidate_pairs(keys, max_block=4, oversize_policy="prepurge")
+    assert sorted(map(tuple, purge.collect())) == sorted(map(tuple, pre.collect()))
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan

@@ -596,3 +596,83 @@ def test_lsh_band_geometry_validated(spark):
             spark.range(0).withColumn("sig", F.array().cast("array<long>")),
             bands=17, rows_per_band=4, sig_len=64,
         )
+
+
+def test_save_state_persists_config(spark, tmp_path, setup):
+    """A state built under non-default blocking parameters must reload
+    with THOSE parameters — the silent MatchConfig() fallback put batch
+    keys in the wrong key space (missed matches, no error)."""
+    from dataclasses import replace
+
+    from entitymatch_spark.plans.incremental import load_state, save_state
+
+    state = setup["st0"]
+    custom = replace(state.cfg, num_hashes=32, bands=8, rows_per_band=4, seed=7)
+    p = str(tmp_path / "st_cfg")
+    save_state(replace(state, cfg=custom), p)
+    loaded = load_state(spark, p)
+    assert (loaded.cfg.num_hashes, loaded.cfg.bands, loaded.cfg.seed) == (32, 8, 7)
+    # explicit cfg argument still wins
+    forced = load_state(spark, p, cfg=state.cfg)
+    assert forced.cfg.num_hashes == state.cfg.num_hashes
+    # and the loaded state remembers where it came from
+    assert loaded.source_path == p
+
+
+def test_save_state_refuses_own_source(spark, tmp_path, setup):
+    import pytest
+
+    from entitymatch_spark.plans.incremental import load_state, save_state
+
+    p = str(tmp_path / "st_own")
+    save_state(setup["st0"], p)
+    loaded = load_state(spark, p)
+    with pytest.raises(ValueError, match="own source"):
+        save_state(loaded, p)
+    save_state(loaded, str(tmp_path / "st_own2"))  # fresh target fine
+
+
+def test_commit_refuses_diverged_state(spark, tmp_path, setup):
+    """remove_docs mutates the state in memory only; growing and then
+    delta-committing that state must refuse (the commit would silently
+    skip the removal)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from entitymatch_spark.plans.incremental import (
+        commit_increment,
+        incremental_match,
+        remove_docs,
+    )
+
+    state, batch = setup["st0"], setup["batch"]
+    some = state.docs.select("doc_id").limit(3)
+    shrunk = remove_docs(state, some)
+    assert not shrunk.storage_synced
+    res = incremental_match(shrunk, batch)
+    with pytest.raises(ValueError, match="diverged"):
+        commit_increment(res, str(tmp_path / "nope2"))
+
+
+def test_upsert_dedups_batch_by_newest_warc_ts(spark, setup):
+    """The same url twice in one batch (re-crawl shape): only the
+    newest warc_ts row survives; without warc_ts duplicates refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from entitymatch_spark.plans.incremental import upsert_pages
+
+    state, batch = setup["st0"], setup["batch"]
+    one = batch.limit(1)
+    dup = one.unionByName(
+        one.withColumn("warc_ts", F.col("warc_ts") - F.expr("interval 1 day"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" STALE")))
+    )
+    res = upsert_pages(state, dup)
+    url = one.collect()[0][state.cfg.id_col]
+    rows = res.state.docs.filter(F.col("doc_id") == url).collect()
+    assert len(rows) == 1
+    assert "stale" not in (rows[0]["norm_text"] or "")
+
+    with pytest.raises(ValueError, match="duplicate"):
+        upsert_pages(state, dup.drop("warc_ts"))
