@@ -322,7 +322,7 @@ def test_state_catalog_roundtrip(spark, setup):
         res = incremental_match(loaded, setup["batch"])
         assert _clusters(res.state.clusters) == _clusters(setup["full"].clusters)
     finally:
-        for part in ("docs", "keys", "idf", "clusters", "scored"):
+        for part in ("docs", "keys", "idf", "clusters", "scored", "cfg"):
             spark.sql(f"drop table if exists {prefix}_{part}")
 
 
@@ -341,7 +341,7 @@ def test_state_bucketed_keys_standing_side_never_shuffles(spark, setup):
     from entitymatch_spark.plans.incremental import _batch_keys
 
     prefix = "default.em_state_bk"
-    parts = ("docs", "keys", "idf", "clusters", "scored")
+    parts = ("docs", "keys", "idf", "clusters", "scored", "cfg")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for part in parts:  # a dir left by a dead session blocks saveAsTable
         spark.sql(f"drop table if exists {prefix}_{part}")
@@ -428,7 +428,7 @@ def test_commit_increment_catalog_fallback(spark, setup):
     from entitymatch_spark.plans.incremental import commit_increment
 
     prefix = "default.em_state_ci"
-    parts = ("docs", "keys", "idf", "clusters", "scored")
+    parts = ("docs", "keys", "idf", "clusters", "scored", "cfg")
     for part in parts:
         spark.sql(f"drop table if exists {prefix}_{part}")
     save_state(setup["st0"], prefix)
@@ -460,7 +460,7 @@ def test_commit_increment_bucketed_keys(spark, setup):
     from entitymatch_spark.sources.readers import _existing_bucket_spec
 
     prefix = "default.em_state_cib"
-    parts = ("docs", "keys", "idf", "clusters", "scored")
+    parts = ("docs", "keys", "idf", "clusters", "scored", "cfg")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for part in parts:
         spark.sql(f"drop table if exists {prefix}_{part}")
